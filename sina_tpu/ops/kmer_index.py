@@ -1,0 +1,152 @@
+"""Inverted k-mer index as a dense device incidence matrix.
+
+The reference keeps an inverted index kmer -> compressed id-set and
+scores a query by bumping one counter per posting per query k-mer
+(/root/reference/src/kmer_search.cpp:152-276,366-420, idset.h:315-337).
+On TPU the natural formulation is dense: an HBM-resident incidence
+matrix  P[kmer_row, seq] ∈ {0,1} (int8)  and scoring as an
+embedding-bag gather-sum  S[b,:] = Σ_l P[kmer[b,l], :]  — an
+HBM-bandwidth-bound kernel (see ops/kmer_kernel.py).  "fast" mode
+(prefix-A k-mers, kmer_search.cpp:172) quarters the row count.
+
+The index caches to ``<bundle>/index-k{k}{f}.sidx.npz`` (CSR form,
+much smaller than dense) with an mtime freshness check, mirroring the
+reference's .sidx artefact cache (kmer_search.cpp:213-242).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from .kmer import kmers_of_masks, BASE_A
+from ..refdb import ReferenceDb
+
+logger = logging.getLogger("sina.kmer_index")
+
+SIDX_VERSION = 1
+
+
+class KmerIndex:
+    def __init__(
+        self,
+        k: int,
+        fast: bool,
+        n_seqs: int,
+        seq_kmers: np.ndarray,
+        seq_offsets: np.ndarray,
+    ):
+        self.k = k
+        self.fast = fast
+        self.n_seqs = n_seqs
+        self.n_rows = 4 ** (k - 1) if fast else 4 ** k
+        # CSR: unique k-mers of sequence i are
+        # seq_kmers[seq_offsets[i]:seq_offsets[i+1]]
+        self.seq_kmers = seq_kmers
+        self.seq_offsets = seq_offsets
+        self._dense: np.ndarray | None = None
+        self._device = None
+
+    # -- construction / caching --------------------------------------
+
+    @classmethod
+    def build(cls, db: ReferenceDb, k: int = 10, fast: bool = True):
+        cache = None
+        if db.path is not None:
+            f = "f" if fast else ""
+            cache = Path(db.path) / f"index-k{k}{f}.sidx.npz"
+            src = Path(db.path) / "arrays.npz"
+            if cache.exists() and src.exists():
+                if cache.stat().st_mtime >= src.stat().st_mtime:
+                    idx = cls.try_load(cache, k, fast, len(db))
+                    if idx is not None:
+                        return idx
+                else:
+                    logger.warning(
+                        "Reference %s newer than %s - rebuilding",
+                        src, cache,
+                    )
+        idx = cls._build_from_db(db, k, fast)
+        if cache is not None:
+            idx.store(cache)
+        return idx
+
+    @classmethod
+    def _build_from_db(cls, db: ReferenceDb, k: int, fast: bool):
+        prefix = BASE_A if fast else None
+        lists = []
+        for s in db.sequences:
+            lists.append(
+                kmers_of_masks(
+                    s.masks, k, prefix_base=prefix, unique=True
+                ).astype(np.int32)
+            )
+        offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+        np.cumsum([len(v) for v in lists], out=offsets[1:])
+        flat = (
+            np.concatenate(lists)
+            if lists
+            else np.zeros(0, dtype=np.int32)
+        )
+        logger.info(
+            "Built index from %d sequences (%d refs)", len(db), len(flat)
+        )
+        return cls(k, fast, len(db), flat, offsets)
+
+    def store(self, path: Path) -> None:
+        np.savez_compressed(
+            path,
+            version=np.int64(SIDX_VERSION),
+            k=np.int64(self.k),
+            fast=np.int64(1 if self.fast else 0),
+            n_seqs=np.int64(self.n_seqs),
+            seq_kmers=self.seq_kmers,
+            seq_offsets=self.seq_offsets,
+        )
+
+    @classmethod
+    def try_load(cls, path: Path, k: int, fast: bool, n_seqs: int):
+        try:
+            z = np.load(path)
+            if (
+                int(z["version"]) != SIDX_VERSION
+                or int(z["k"]) != k
+                or bool(z["fast"]) != fast
+                or int(z["n_seqs"]) != n_seqs
+            ):
+                logger.error(
+                    "Index file %s does not match requested "
+                    "parameters - rebuilding", path,
+                )
+                return None
+            return cls(
+                k, fast, n_seqs, z["seq_kmers"], z["seq_offsets"]
+            )
+        except Exception as e:  # corrupt cache -> rebuild
+            logger.error("Failed to load %s (%s) - rebuilding", path, e)
+            return None
+
+    # -- dense representation ----------------------------------------
+
+    def dense(self) -> np.ndarray:
+        """(n_rows+1, n_seqs) int8 incidence matrix; the extra final
+        row stays all-zero as the padding target for invalid k-mers."""
+        if self._dense is None:
+            P = np.zeros((self.n_rows + 1, self.n_seqs), dtype=np.int8)
+            seq_ids = np.repeat(
+                np.arange(self.n_seqs, dtype=np.int64),
+                np.diff(self.seq_offsets),
+            )
+            P[self.seq_kmers, seq_ids] = 1
+            self._dense = P
+        return self._dense
+
+    def device_matrix(self):
+        """Dense matrix as a jax array (cached)."""
+        if self._device is None:
+            import jax.numpy as jnp
+
+            self._device = jnp.asarray(self.dense())
+        return self._device

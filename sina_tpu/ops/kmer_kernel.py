@@ -1,0 +1,105 @@
+"""Batched k-mer scoring: S[b, s] = Σ_l P[kmer[b, l], s].
+
+This is the famfinder hot loop (/root/reference/src/kmer_search.cpp:
+366-420 + idset.h:315-337) recast as an embedding-bag gather-sum over a
+dense HBM-resident incidence matrix.  Two implementations:
+
+  * ``kmer_scores_xla`` — plain jax (lax.scan over k-mer chunks);
+    portable, used on CPU and as reference.
+  * ``kmer_scores_pallas`` — TPU Pallas kernel: k-mer indices are
+    scalar-prefetched and drive the BlockSpec index_map, so each grid
+    step DMAs exactly one matrix row HBM→VMEM (hardware-pipelined /
+    double-buffered by the Pallas runtime) and accumulates into a
+    VMEM-resident output row.  This is HBM-bandwidth-bound, which is
+    the speed-of-light for this op.
+
+Invalid/padding k-mer slots must point at the all-zero final row of P.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def kmer_scores_xla(P, kmers, chunk: int = 32):
+    """P: (R+1, S) int8; kmers: (B, L) int32 -> (B, S) int32."""
+    B, L = kmers.shape
+    S = P.shape[1]
+    pad = (-L) % chunk
+    kmers = jnp.pad(kmers, ((0, 0), (0, pad)), constant_values=P.shape[0] - 1)
+    nchunks = (L + pad) // chunk
+    kc = kmers.reshape(B, nchunks, chunk).transpose(1, 0, 2)
+
+    def step(acc, kk):
+        rows = jnp.take(P, kk, axis=0).astype(jnp.int32)  # (B, chunk, S)
+        return acc + rows.sum(axis=1), None
+
+    acc0 = jnp.zeros((B, S), dtype=jnp.int32)
+    acc, _ = jax.lax.scan(step, acc0, kc)
+    return acc
+
+
+def _pallas_kernel(kmer_ref, P_row, out_ref):
+    from jax.experimental import pallas as pl
+
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    out_ref[...] += P_row[...].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kmer_scores_pallas(P, kmers):
+    """TPU path.  P: (R+1, S) int8, kmers: (B, L) int32 -> (B, S) int32."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = kmers.shape
+    S = P.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L),
+        in_specs=[
+            pl.BlockSpec(
+                (1, S), lambda b, l, kref: (kref[b, l], 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, S), lambda b, l, kref: (b, 0)),
+    )
+    return pl.pallas_call(
+        _pallas_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(kmers, P)
+
+
+def kmer_scores(P, kmers):
+    """Dispatch on backend: Pallas on TPU, XLA elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            return kmer_scores_pallas(P, kmers)
+        except Exception:  # pragma: no cover - fallback safety
+            return kmer_scores_xla(P, kmers)
+    return kmer_scores_xla(P, kmers)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def top_k_scores(scores, k: int):
+    """Per-query top-k: returns (values, indices) sorted descending.
+
+    Tie-break deviates from the reference (which prefers higher ids,
+    kmer_search.cpp:412): lax.top_k prefers lower indices.
+    """
+    return jax.lax.top_k(scores, k)

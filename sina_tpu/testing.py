@@ -1,0 +1,173 @@
+"""Synthetic reference-alignment generator for tests and benchmarks.
+
+The reference's test fixture is a miniature real database
+(test_data/ltp_reduced.arb, a git submodule not shipped with the
+sources).  We generate an equivalent miniature fixture: sequences are
+evolved along a random binary tree with substitutions, deletions and
+insertions, tracked directly in alignment-column space so the resulting
+MSA is consistent by construction.  Taxonomy strings are derived from
+the tree path, giving realistic LCA-classification targets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .sequence import Sequence
+from .refdb import ReferenceDb
+from . import alphabet
+
+_BASES = np.array(
+    [alphabet.M_A, alphabet.M_G, alphabet.M_C, alphabet.M_TU],
+    dtype=np.uint8,
+)
+
+_TAX_LEVELS = ["Dom", "Phy", "Cls", "Ord", "Fam", "Gen"]
+
+
+def _random_base(rng, n):
+    return _BASES[rng.integers(0, 4, size=n)]
+
+
+def _evolve(
+    cols: np.ndarray,
+    rates: np.ndarray,
+    rng: np.random.Generator,
+    branch_len: float,
+) -> np.ndarray:
+    """One branch of evolution on a column-space sequence.
+
+    cols: (W,) uint8 masks, 0 = gap.  rates: per-column relative
+    substitution rate.  branch_len scales event probabilities.
+    """
+    out = cols.copy()
+    occupied = np.nonzero(out != 0)[0]
+    n = len(occupied)
+    if n == 0:
+        return out
+    # substitutions
+    p_sub = np.clip(0.06 * branch_len * rates[occupied], 0, 0.75)
+    sub = rng.random(n) < p_sub
+    if sub.any():
+        out[occupied[sub]] = _random_base(rng, int(sub.sum()))
+    # deletions: short runs at variable columns
+    p_del = 0.004 * branch_len
+    dele = rng.random(n) < p_del * rates[occupied]
+    if dele.any():
+        out[occupied[dele]] = 0
+    # insertions into currently-empty columns
+    empty = np.nonzero(out == 0)[0]
+    if len(empty):
+        p_ins = 0.003 * branch_len
+        ins = rng.random(len(empty)) < p_ins
+        if ins.any():
+            out[empty[ins]] = _random_base(rng, int(ins.sum()))
+    return out
+
+
+def make_reference(
+    n_seqs: int = 200,
+    n_core: int = 900,
+    width: int = 1500,
+    seed: int = 1234,
+) -> ReferenceDb:
+    """Generate a synthetic reference MSA of n_seqs sequences."""
+    rng = np.random.default_rng(seed)
+    # root: occupied core columns spread over the width
+    core_cols = np.sort(
+        rng.choice(width, size=min(n_core, width), replace=False)
+    )
+    root = np.zeros(width, dtype=np.uint8)
+    root[core_cols] = _random_base(rng, len(core_cols))
+    # per-column variability: mostly conserved, some hot columns
+    rates = np.where(rng.random(width) < 0.25, 3.0, 0.35)
+
+    # evolve a binary tree until we have n_seqs leaves
+    leaves: list[tuple[np.ndarray, list[int]]] = []
+
+    def grow(cols, path, depth):
+        if len(leaves) >= n_seqs:
+            return
+        if depth == 0 or (
+            len(leaves) + 2 ** depth > n_seqs and rng.random() < 0.3
+        ):
+            leaves.append((cols, path))
+            return
+        for child in range(2):
+            blen = float(rng.uniform(0.3, 1.2))
+            grow(
+                _evolve(cols, rates, rng, blen),
+                path + [child],
+                depth - 1,
+            )
+
+    depth = int(np.ceil(np.log2(max(n_seqs, 2)))) + 2
+    while len(leaves) < n_seqs:
+        grow(_evolve(root, rates, rng, 0.5), [len(leaves) % 2], depth)
+    leaves = leaves[:n_seqs]
+
+    seqs = []
+    for i, (cols, path) in enumerate(leaves):
+        pos = np.nonzero(cols)[0].astype(np.uint32)
+        seq = Sequence(
+            f"SEQ{i:05d}",
+            pos,
+            cols[pos].astype(np.uint8),
+            width,
+            {},
+        )
+        # taxonomy from tree path (grouped 1 bit per level)
+        labels = []
+        acc = 0
+        for lvl, name in enumerate(_TAX_LEVELS):
+            if lvl < len(path):
+                acc = acc * 2 + path[lvl]
+            labels.append(f"{name}{acc}")
+        seq.attrs["tax_slv"] = ";".join(labels) + ";"
+        seq.attrs["acc"] = f"ACC{i:05d}"
+        seq.attrs["start"] = "1"
+        seq.attrs["stop"] = str(len(pos))
+        seq.attrs["version"] = "1"
+        seqs.append(seq)
+    return ReferenceDb(seqs, width)
+
+
+def make_queries(
+    db: ReferenceDb,
+    n: int = 20,
+    seed: int = 99,
+    branch_len: float = 0.8,
+) -> list[Sequence]:
+    """Evolve one extra branch off random reference sequences; the
+    returned Sequences carry their true alignment (positions) so tests
+    can score realignment accuracy, and attrs['parent'] names the
+    origin."""
+    rng = np.random.default_rng(seed)
+    width = db.width
+    rates = np.where(rng.random(width) < 0.25, 3.0, 0.35)
+    out = []
+    for i in range(n):
+        j = int(rng.integers(0, len(db)))
+        parent = db.sequences[j]
+        cols = np.zeros(width, dtype=np.uint8)
+        cols[parent.positions] = parent.masks
+        cols = _evolve(cols, rates, rng, branch_len)
+        pos = np.nonzero(cols)[0].astype(np.uint32)
+        q = Sequence(
+            f"QRY{i:04d}", pos, cols[pos].astype(np.uint8), width, {}
+        )
+        q.attrs["parent"] = parent.name
+        out.append(q)
+    return out
+
+
+def unaligned_copy(seq: Sequence) -> Sequence:
+    """Strip alignment information (what a FASTA query looks like)."""
+    n = len(seq.positions)
+    return Sequence(
+        seq.name,
+        np.arange(n, dtype=np.uint32),
+        seq.masks.copy(),
+        n,
+        dict(seq.attrs),
+    )
