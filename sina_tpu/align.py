@@ -1,0 +1,351 @@
+"""Aligner stage: NAST alignment of a query against its family.
+
+Host-side orchestration of the reference's aligner functor
+(/root/reference/src/align.cpp:301-521): exact/superstring alignment
+copy, POA graph construction, DP + backtrack, overhang placement,
+lowercase marking, NAST shifting and result attributes.  The DP itself
+runs on device (ops/align_kernel.py); everything per-sequence and
+O(query) runs here.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import alphabet
+from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_OVERLAP
+from .ops import align_kernel as ak
+from .ops.graph import LinearGraph, build_graph
+from .sequence import Sequence
+
+logger = logging.getLogger("sina.align")
+
+OVERHANG_ATTACH = "attach"
+OVERHANG_REMOVE = "remove"
+OVERHANG_EDGE = "edge"
+
+LOWERCASE_NONE = "none"
+LOWERCASE_ORIGINAL = "original"
+LOWERCASE_UNALIGNED = "unaligned"
+
+INSERTION_SHIFT = "shift"
+INSERTION_FORBID = "forbid"
+INSERTION_REMOVE = "remove"
+
+# attribute names follow the reference's field contract
+# (/root/reference/src/query_arb.cpp:107-126, doc/source/fields.rst)
+FN_DATE = "aligned_slv"
+FN_QUAL = "align_quality_slv"
+FN_HEAD = "align_cutoff_head_slv"
+FN_TAIL = "align_cutoff_tail_slv"
+FN_FILTER = "align_filter_slv"
+FN_IDTY = "align_ident_slv"
+FN_USED_RELS = "used_rels"
+FN_BPSCORE = "align_bp_score_slv"
+FN_FULLNAME = "full_name"
+FN_FAMILY = "align_family_slv"
+FN_NUC = "nuc"
+FN_ASTART = "align_startpos_slv"
+FN_ASTOP = "align_stoppos_slv"
+FN_TURN = "turn_slv"
+
+
+@dataclass
+class AlignerConfig:
+    realign: bool = False
+    overhang: str = OVERHANG_ATTACH
+    lowercase: str = LOWERCASE_NONE
+    insertion: str = INSERTION_SHIFT
+    fs_weight: float = 1.0
+    match_score: float = 2.0
+    mismatch_score: float = -1.0
+    gap_penalty: float = 5.0
+    gap_ext_penalty: float = 2.0
+    calc_idty: bool = False
+    write_used_rels: bool = False
+    fs_no_graph: bool = False
+
+    def dp_params(self) -> ak.DpParams:
+        # the reference negates match/mismatch when building the
+        # minimising scheme (align.cpp:406-412)
+        return ak.DpParams(
+            match=-self.match_score,
+            mismatch=-self.mismatch_score,
+            gap_open=self.gap_penalty,
+            gap_ext=self.gap_ext_penalty,
+        )
+
+
+def _now() -> str:
+    return datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+class AlignmentFailure(Exception):
+    pass
+
+
+def try_copy_alignment(
+    query: Sequence,
+    family: list[tuple[float, Sequence]],
+    cfg: AlignerConfig,
+    log: list[str],
+) -> tuple[Sequence | None, list[tuple[float, Sequence]]]:
+    """Identity/superstring fast path (align.cpp:328-389): if a family
+    member contains the query's bases verbatim, copy its alignment.
+    With --realign those members are dropped instead."""
+    bases = query.get_bases().upper().replace("U", "T")
+
+    containing = []
+    others = []
+    for item in family:
+        ref_bases = (
+            item[1].get_bases().upper().replace("U", "T")
+        )
+        if bases in ref_bases:
+            containing.append((item, ref_bases))
+        else:
+            others.append(item)
+
+    if not containing:
+        return None, family
+
+    if cfg.realign:
+        log.append(
+            "sequences "
+            + " ".join(
+                it[1].get_attr("acc", it[1].name)
+                for it, _ in containing
+            )
+            + " containing exact candidate removed from family;"
+        )
+        return None, others
+
+    out = query.copy()
+    if cfg.lowercase != LOWERCASE_ORIGINAL:
+        out.upper_case_all()
+    exact = next(
+        (
+            (it, rb)
+            for it, rb in containing
+            if rb == bases
+        ),
+        None,
+    )
+    if exact is not None:
+        ref = exact[0][1]
+        out.positions = ref.positions.copy()
+        out.masks = out.masks  # keep query's own bases/case
+        log.append(
+            f"copied alignment from identical template sequence "
+            f"{ref.get_attr('acc', ref.name)};"
+        )
+    else:
+        (item, ref_bases) = containing[0]
+        ref = item[1]
+        start = ref_bases.index(bases)
+        out.positions = ref.positions[
+            start : start + len(bases)
+        ].copy()
+        log.append(
+            f"copied alignment from (longer) template sequence "
+            f"{ref.get_attr('acc', ref.name)};"
+        )
+    out.width = ref.width
+    out.set_attr(FN_DATE, _now())
+    out.set_attr(FN_QUAL, 100)
+    if cfg.calc_idty:
+        out.set_attr(FN_IDTY, 100.0)
+    out.set_attr(FN_HEAD, 0)
+    out.set_attr(FN_TAIL, 0)
+    out.set_attr(FN_FILTER, "")
+    return out, family
+
+
+def align_sequence(
+    query: Sequence,
+    family: list[tuple[float, Sequence]],
+    cfg: AlignerConfig | None = None,
+    col_weights: np.ndarray | None = None,
+    astats_name: str = "",
+) -> Sequence | None:
+    """Align one query against its reference family.  Returns the
+    aligned Sequence or None on failure.  Single-sequence convenience
+    path; the pipeline uses the batched variant."""
+    cfg = cfg or AlignerConfig()
+    log: list[str] = []
+
+    copied, family = try_copy_alignment(query, family, cfg, log)
+    if copied is not None:
+        copied.set_attr("align_log_slv", " ".join(log))
+        return copied
+    if not family:
+        logger.info("%s: all references contained query", query.name)
+        return None
+
+    refs = [it[1] for it in family]
+    graph = build_graph(refs, cfg.fs_weight)
+    width = graph.width
+
+    if col_weights is None:
+        cw = np.ones(width + 2, dtype=np.float32)
+    else:
+        cw = np.ones(width + 2, dtype=np.float32)
+        cw[: len(col_weights)] = col_weights
+
+    q = query.copy()
+    if cfg.lowercase != LOWERCASE_ORIGINAL:
+        q.upper_case_all()
+
+    import jax.numpy as jnp
+
+    m = len(q.masks)
+    bp, bj, bi, raw = ak.poa_dp(
+        jnp.asarray(graph.pos),
+        jnp.asarray(graph.mask.astype(np.int32)),
+        jnp.asarray(graph.weight),
+        jnp.asarray(graph.preds),
+        jnp.asarray(graph.is_start),
+        jnp.asarray(graph.is_end),
+        jnp.asarray(q.masks.astype(np.int32)),
+        jnp.int32(m),
+        jnp.int32(graph.n_nodes),
+        jnp.asarray(cw),
+        n_nodes=graph.n_nodes,
+        m_len=m,
+        params=cfg.dp_params(),
+    )
+    return finish_alignment(
+        query,
+        q,
+        graph,
+        np.asarray(bp),
+        int(bj),
+        int(bi),
+        float(raw),
+        cfg,
+        cw,
+        [it[1] for it in family],
+        astats_name,
+        log,
+    )
+
+
+def finish_alignment(
+    query: Sequence,
+    q_upper: Sequence,
+    graph: LinearGraph,
+    bp: np.ndarray,
+    best_j: int,
+    best_i: int,
+    raw: float,
+    cfg: AlignerConfig,
+    col_weights: np.ndarray,
+    refs: list[Sequence],
+    astats_name: str,
+    log: list[str],
+) -> Sequence | None:
+    """Host post-processing: traceback, overhang, NAST shift, attrs
+    (mesh.h:534-739 + align.cpp:475-521 semantics)."""
+    width = graph.width
+    m = len(q_upper.masks)
+    pairs, head = ak.traceback(
+        bp, best_j, best_i, graph.pos, graph.preds, graph.is_start
+    )
+
+    lowercase_unaligned = cfg.lowercase == LOWERCASE_UNALIGNED
+    positions: list[int] = []
+    masks: list[int] = []
+    qmasks = q_upper.masks
+
+    cutoff_head = head
+    cutoff_tail = m - 1 - best_i
+
+    # left overhang (mesh.h:690-721)
+    if head > 0 and cfg.overhang != OVERHANG_REMOVE:
+        pfirst = int(graph.pos[pairs[0][0]])
+        for k in range(head):
+            if cfg.overhang == OVERHANG_ATTACH:
+                col = max(0, pfirst - (head - k))
+            else:  # edge
+                col = k
+            mask = int(qmasks[k])
+            if lowercase_unaligned:
+                mask |= alphabet.M_LC
+            positions.append(col)
+            masks.append(mask)
+
+    # aligned body
+    sum_weight = 0.0
+    neg_match = -cfg.match_score
+    for node, i in pairs:
+        positions.append(int(graph.pos[node]))
+        masks.append(int(qmasks[i]))
+        sum_weight += (
+            neg_match
+            * float(col_weights[graph.pos[node]])
+            * float(graph.weight[node])
+        )
+
+    # right overhang (mesh.h:594-615)
+    if cutoff_tail > 0 and cfg.overhang != OVERHANG_REMOVE:
+        mp = int(graph.pos[best_j])
+        for t in range(cutoff_tail):
+            i = best_i + 1 + t
+            if cfg.overhang == OVERHANG_ATTACH:
+                col = min(width - 1, mp + 1 + t)
+            else:  # edge
+                col = width - cutoff_tail + t
+            mask = int(qmasks[i])
+            if lowercase_unaligned:
+                mask |= alphabet.M_LC
+            positions.append(col)
+            masks.append(mask)
+
+    out = query.copy()
+    out.positions = np.asarray(positions, dtype=np.uint32)
+    out.masks = np.asarray(masks, dtype=np.uint8)
+    out.width = width
+    # enforce nondecreasing (overhang clamping can locally violate)
+    out.positions = np.maximum.accumulate(out.positions)
+    if cfg.insertion == INSERTION_REMOVE:
+        log.append("insertion=remove not implemented, using shift;")
+    stats = out.fix_duplicate_positions(lowercase=lowercase_unaligned)
+    if stats["total_inserts"] > 0:
+        log.append(
+            f"total inserted bases={stats['total_inserts']};"
+            f"longest insertion={stats['longest_insert']};"
+        )
+
+    score = raw / sum_weight if sum_weight != 0 else 0.0
+    log.append(
+        f"scoring: raw={raw:.6g}, weight={sum_weight:.6g}, "
+        f"query-len={m}, score={score:.6g};"
+    )
+
+    out.set_attr(FN_HEAD, int(cutoff_head))
+    out.set_attr(FN_TAIL, int(cutoff_tail))
+    out.set_attr(
+        FN_QUAL, int(min(100.0, max(0.0, 100.0 * score)))
+    )
+    out.set_attr(FN_DATE, _now())
+    out.set_attr(FN_FILTER, astats_name)
+    if cfg.write_used_rels:
+        out.set_attr(
+            FN_USED_RELS, " ".join(r.name for r in refs)
+        )
+    if cfg.calc_idty:
+        calc = Comparator(
+            IUPAC_OPTIMISTIC, "none", COVER_OVERLAP, False
+        )
+        idty = max(
+            (calc(out, r) for r in refs), default=0.0
+        )
+        out.set_attr(FN_IDTY, 100.0 * idty)
+    out.set_attr("align_log_slv", " ".join(log))
+    return out

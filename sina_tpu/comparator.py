@@ -1,0 +1,138 @@
+"""Pairwise identity measures over aligned sequences.
+
+Port of the semantics of cseq_comparator
+(/root/reference/src/cseq_comparator.cpp:57-293): a position-
+synchronised traversal classifying bases as match/mismatch (shared
+columns), only-A/only-B (gap in the other inside the overlap zone) or
+overhang (outside the other's span), followed by one of nine coverage
+normalisations and an optional Jukes-Cantor transform.  Vectorised as
+numpy set operations on position arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import alphabet
+from .sequence import Sequence
+
+IUPAC_OPTIMISTIC = "optimistic"
+IUPAC_PESSIMISTIC = "pessimistic"
+IUPAC_EXACT = "exact"
+
+DIST_NONE = "none"
+DIST_JC = "jc"
+
+COVER_ABS = "abs"
+COVER_QUERY = "query"
+COVER_TARGET = "target"
+COVER_OVERLAP = "overlap"
+COVER_ALL = "all"
+COVER_AVERAGE = "average"
+COVER_MIN = "min"
+COVER_MAX = "max"
+COVER_NOGAP = "nogap"
+
+_IUPAC_FN = {
+    IUPAC_OPTIMISTIC: alphabet.comp_optimistic,
+    IUPAC_PESSIMISTIC: alphabet.comp_pessimistic,
+    IUPAC_EXACT: alphabet.comp_exact,
+}
+
+
+def jukes_cantor(x: float) -> float:
+    return -3.0 / 4 * np.log(1.0 - 4.0 / 3 * x)
+
+
+class Comparator:
+    def __init__(
+        self,
+        iupac: str = IUPAC_OPTIMISTIC,
+        dist: str = DIST_NONE,
+        cover: str = COVER_QUERY,
+        filter_lc: bool = False,
+    ):
+        if iupac not in _IUPAC_FN:
+            raise ValueError(f"unknown iupac rule {iupac}")
+        self.iupac = iupac
+        self.dist = dist
+        self.cover = cover
+        self.filter_lc = filter_lc
+
+    def _prep(self, s: Sequence):
+        pos, mask = s.positions, s.masks
+        if self.filter_lc:
+            keep = (mask & alphabet.M_LC) == 0
+            pos, mask = pos[keep], mask[keep]
+        return pos.astype(np.int64), mask
+
+    def counts(self, a: Sequence, b: Sequence) -> dict:
+        apos, amask = self._prep(a)
+        bpos, bmask = self._prep(b)
+        out = dict(
+            match=0, mismatch=0, only_a=0, only_b=0,
+            only_a_overhang=0, only_b_overhang=0,
+        )
+        if len(apos) == 0 or len(bpos) == 0:
+            out["only_a_overhang"] = len(apos)
+            out["only_b_overhang"] = len(bpos)
+            return out
+        common, ia, ib = np.intersect1d(
+            apos, bpos, assume_unique=True, return_indices=True
+        )
+        cmp = _IUPAC_FN[self.iupac](amask[ia], bmask[ib])
+        out["match"] = int(cmp.sum())
+        out["mismatch"] = len(common) - out["match"]
+
+        b_lo, b_hi = bpos[0], bpos[-1]
+        a_lo, a_hi = apos[0], apos[-1]
+        a_only = np.setdiff1d(apos, common, assume_unique=True)
+        b_only = np.setdiff1d(bpos, common, assume_unique=True)
+        a_over = ((a_only < b_lo) | (a_only > b_hi)).sum()
+        b_over = ((b_only < a_lo) | (b_only > a_hi)).sum()
+        out["only_a_overhang"] = int(a_over)
+        out["only_b_overhang"] = int(b_over)
+        out["only_a"] = int(len(a_only) - a_over)
+        out["only_b"] = int(len(b_only) - b_over)
+        return out
+
+    def __call__(self, a: Sequence, b: Sequence) -> float:
+        m = self.counts(a, b)
+        mm = m["match"] + m["mismatch"]
+        cover = self.cover
+        if cover == COVER_ABS:
+            base = 1
+        elif cover == COVER_QUERY:
+            base = mm + m["only_a"] + m["only_a_overhang"]
+        elif cover == COVER_TARGET:
+            base = mm + m["only_b"] + m["only_b_overhang"]
+        elif cover == COVER_OVERLAP:
+            base = mm + m["only_a"] + m["only_b"]
+        elif cover == COVER_ALL:
+            base = (
+                mm + m["only_a"] + m["only_b"]
+                + m["only_a_overhang"] + m["only_b_overhang"]
+            )
+        elif cover == COVER_AVERAGE:
+            base = mm + (
+                m["only_a"] + m["only_b"]
+                + m["only_a_overhang"] + m["only_b_overhang"]
+            ) // 2
+        elif cover == COVER_MIN:
+            base = mm + min(
+                m["only_a"] + m["only_a_overhang"],
+                m["only_b"] + m["only_b_overhang"],
+            )
+        elif cover == COVER_MAX:
+            base = mm + max(
+                m["only_a"] + m["only_a_overhang"],
+                m["only_b"] + m["only_b_overhang"],
+            )
+        elif cover == COVER_NOGAP:
+            base = mm
+        else:
+            raise ValueError(f"unknown cover rule {self.cover}")
+        dist = m["match"] / base if base else 0.0
+        if self.dist == DIST_JC:
+            dist = jukes_cantor(dist)
+        return float(dist)

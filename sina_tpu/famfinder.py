@@ -1,0 +1,316 @@
+"""Reference (family) selection stage.
+
+Port of the semantics of famfinder
+(/root/reference/src/famfinder.cpp:270-612): orientation ("turn")
+check via 4-way index probing, constraint-driven family selection with
+escalating retry, gap-count filtering and alignment-stats selection.
+Scoring runs batched on device (ops/kmer_kernel); the policy layer is
+host-side python over small top-k lists.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_QUERY
+from .ops.kmer import query_kmers_padded
+from .ops.kmer_index import KmerIndex
+from .ops.kmer_kernel import kmer_scores, top_k_scores
+from .refdb import ReferenceDb
+from .sequence import Sequence
+
+logger = logging.getLogger("sina.famfinder")
+
+TURN_NONE = "none"
+TURN_REVCOMP = "revcomp"
+TURN_ALL = "all"
+
+
+@dataclass
+class FamFinderConfig:
+    turn: str = TURN_NONE
+    fs_kmer_len: int = 10
+    fs_no_fast: bool = False
+    fs_min: int = 40
+    fs_max: int = 40
+    fs_msc: float = 0.7
+    fs_msc_max: float = 2.0
+    fs_leave_query_out: bool = False
+    fs_req: int = 1
+    fs_req_full: int = 1
+    fs_full_len: int = 1400
+    fs_req_gaps: int = 10
+    fs_min_len: int = 150
+    fs_cover_gene: int = 0
+    gene_start: int = 0
+    gene_end: int = 0
+    posvar_filter: str = ""
+    posvar_autofilter_field: str = ""
+    posvar_autofilter_thres: float = 0.8
+
+
+@dataclass
+class FamilyResult:
+    family: list[tuple[float, Sequence]]
+    astats_name: str = ""
+    astats_weights: np.ndarray | None = None
+    log: list[str] = field(default_factory=list)
+    failed: bool = False
+
+
+class FamFinder:
+    def __init__(self, db: ReferenceDb, cfg: FamFinderConfig | None = None):
+        self.db = db
+        self.cfg = cfg or FamFinderConfig()
+        self.index = KmerIndex.build(
+            db, k=self.cfg.fs_kmer_len, fast=not self.cfg.fs_no_fast
+        )
+        self._P = None
+
+    # -- device scoring ----------------------------------------------
+
+    def _matrix(self):
+        if self._P is None:
+            self._P = self.index.device_matrix()
+        return self._P
+
+    def score_batch(self, mask_list: list[np.ndarray]) -> np.ndarray:
+        """Raw k-mer hit counts (B, n_seqs) for a batch of queries."""
+        kmers, _ = query_kmers_padded(
+            mask_list, self.index.k, fast=self.index.fast
+        )
+        return np.asarray(kmer_scores(self._matrix(), kmers))
+
+    def find(
+        self, query: Sequence, max_results: int
+    ) -> list[tuple[float, int]]:
+        """Ranked [(score, seq_id)] for one query
+        (kmer_search.cpp:366-420)."""
+        scores = self.score_batch([query.masks])[0]
+        return self._rank(scores, max_results)
+
+    def _rank(self, scores: np.ndarray, max_results: int):
+        max_results = min(max_results, len(scores))
+        # descending score; reference breaks ties by higher id
+        # (std::greater on (score,id) pairs, kmer_search.cpp:412)
+        order = np.lexsort((-np.arange(len(scores)), -scores))
+        top = order[:max_results]
+        return [(float(scores[i]), int(i)) for i in top]
+
+    # -- turn check ---------------------------------------------------
+
+    def turn_check(self, query: Sequence, all4: bool) -> int:
+        """0=asis 1=reversed 2=complemented 3=revcomp
+        (famfinder.cpp:344-378)."""
+        variants = [query.masks]
+        rev = query.copy().reverse()
+        comp = query.copy().complement()
+        revcomp = query.copy().reverse().complement()
+        if all4:
+            variants += [rev.masks, comp.masks, revcomp.masks]
+            order = [0, 1, 2, 3]
+        else:
+            variants += [revcomp.masks]
+            order = [0, 3]
+        scores = self.score_batch(variants)
+        tops = scores.max(axis=1)
+        best, best_score = 0, 0.0
+        for k, oi in enumerate(order):
+            if tops[k] > best_score:
+                best_score = float(tops[k])
+                best = oi
+        return best
+
+    def apply_turn(self, query: Sequence) -> Sequence:
+        cfg = self.cfg
+        if cfg.turn == TURN_NONE:
+            query.set_attr("turn_slv", "turn-check disabled")
+            return query
+        which = self.turn_check(query, cfg.turn == TURN_ALL)
+        if which == 0:
+            query.set_attr("turn_slv", "none")
+        elif which == 1:
+            query.set_attr("turn_slv", "reversed")
+            query.reverse()
+        elif which == 2:
+            query.set_attr("turn_slv", "complemented")
+            query.complement()
+        else:
+            query.set_attr("turn_slv", "reversed and complemented")
+            query.reverse().complement()
+        return query
+
+    # -- family selection policy --------------------------------------
+
+    def match(
+        self,
+        query: Sequence,
+        scores: np.ndarray | None = None,
+    ) -> list[tuple[float, Sequence]]:
+        """Constraint-driven family selection (famfinder.cpp:497-612).
+        `scores` may be precomputed (batched path)."""
+        cfg = self.cfg
+        if scores is None:
+            scores = self.score_batch([query.masks])[0]
+        cmp = Comparator(IUPAC_OPTIMISTIC, "none", COVER_QUERY, False)
+        qbases = query.get_bases().upper().replace("U", "T")
+
+        max_results = cfg.fs_max + 1
+        n = self.index.n_seqs
+        while True:
+            ranked = self._rank(scores, max_results)
+            kept = self._filter(ranked, query, qbases, cmp)
+            have, have_full, cl, cr = self._tally(kept)
+            if (
+                have >= cfg.fs_max
+                and have_full >= cfg.fs_req_full
+                and cl >= cfg.fs_cover_gene
+                and cr >= cfg.fs_cover_gene
+            ):
+                break
+            if max_results >= n:
+                break
+            max_results *= 10
+        return kept
+
+    def _is_full(self, seq: Sequence) -> bool:
+        return len(seq) >= self.cfg.fs_full_len
+
+    def _covers_left(self, seq: Sequence) -> bool:
+        return (
+            len(seq) > 0
+            and int(seq.positions[0]) <= self.cfg.gene_start
+        )
+
+    def _covers_right(self, seq: Sequence) -> bool:
+        return (
+            len(seq) > 0
+            and int(seq.positions[-1]) >= self.cfg.gene_end
+        )
+
+    def _tally(self, kept):
+        have = len(kept)
+        have_full = sum(1 for _, s in kept if self._is_full(s))
+        cl = sum(1 for _, s in kept if self._covers_left(s))
+        cr = sum(1 for _, s in kept if self._covers_right(s))
+        return have, have_full, cl, cr
+
+    def _filter(self, ranked, query, qbases, cmp):
+        cfg = self.cfg
+        kept: list[tuple[float, Sequence]] = []
+        have = have_full = cover_l = cover_r = 0
+        for score, sid in ranked:
+            seq = self.db.sequences[sid]
+            if len(seq) < cfg.fs_min_len:
+                continue
+            if cfg.fs_leave_query_out and seq.name == query.name:
+                continue
+            if cfg.fs_msc_max <= 2 and cmp(query, seq) > cfg.fs_msc_max:
+                continue
+            # beyond fs-min, the reference keeps only items whose score
+            # is below fs-msc plus quota-fillers (famfinder.cpp:578-588;
+            # reproduced as written — inert at default fs-min == fs-max)
+            if have >= cfg.fs_min:
+                score_keeps = score < cfg.fs_msc
+                fills_full = (
+                    cfg.fs_req_full
+                    and have_full < cfg.fs_req_full
+                    and self._is_full(seq)
+                )
+                fills_range = cfg.fs_cover_gene and (
+                    (cover_r < cfg.fs_cover_gene and self._covers_right(seq))
+                    or (cover_l < cfg.fs_cover_gene and self._covers_left(seq))
+                )
+                if (
+                    (have >= cfg.fs_max or not score_keeps)
+                    and not fills_full
+                    and not fills_range
+                ):
+                    continue
+            have += 1
+            if self._is_full(seq):
+                have_full += 1
+            if self._covers_left(seq):
+                cover_l += 1
+            if self._covers_right(seq):
+                cover_r += 1
+            kept.append((score, seq))
+        return kept
+
+    # -- astats selection ---------------------------------------------
+
+    def select_astats(
+        self, family: list[tuple[float, Sequence]]
+    ) -> tuple[str, np.ndarray | None, list[str]]:
+        """Filter/quorum-vote alignment-stats selection
+        (famfinder.cpp:381-436).  Returns (name, weights, log)."""
+        from .stats import compute_weights
+
+        cfg = self.cfg
+        log: list[str] = []
+        chosen = None
+        if cfg.posvar_filter:
+            for a in self.db.astats:
+                if a["name"] in (
+                    cfg.posvar_filter,
+                    cfg.posvar_filter + ":ALL",
+                    cfg.posvar_filter + ":all",
+                ):
+                    chosen = a
+        if cfg.posvar_autofilter_field:
+            best, best_count = None, 0
+            for a in self.db.astats:
+                n = 0
+                for _, r in family:
+                    f = (
+                        cfg.posvar_filter
+                        + ":"
+                        + str(r.get_attr(cfg.posvar_autofilter_field, ""))
+                    )
+                    if f.lower().startswith(a["name"].lower()):
+                        n += 1
+                if n > best_count:
+                    best, best_count = a, n
+            if best is not None and best_count > len(family) * (
+                cfg.posvar_autofilter_thres
+            ):
+                log.append(f"autofilter: {best['name']};")
+                chosen = best
+            else:
+                log.append("autofilter: no match;")
+        if chosen is None:
+            return "", None, log
+        return chosen["name"], compute_weights(chosen), log
+
+    # -- full stage ---------------------------------------------------
+
+    def __call__(self, query: Sequence) -> FamilyResult:
+        cfg = self.cfg
+        self.apply_turn(query)
+        family = self.match(query)
+
+        # family string attr (famfinder.cpp:458-470)
+        fam_str = " ".join(
+            f"{s.get_attr('acc', s.name)}.{s.get_attr('start', '0')}"
+            f":{score:.2f}"
+            for score, s in family
+        )
+        query.set_attr("align_family_slv", fam_str)
+
+        if cfg.fs_req_gaps:
+            family = [
+                (sc, s)
+                for sc, s in family
+                if len(s) and s.internal_gaps() >= cfg.fs_req_gaps
+            ]
+        name, weights, log = self.select_astats(family)
+        res = FamilyResult(family, name, weights, log)
+        if len(family) < cfg.fs_req:
+            res.log.append(
+                f"unable to align: too few relatives ({len(family)});"
+            )
+            res.failed = True
+        return res

@@ -1,0 +1,276 @@
+"""Batched POA-graph alignment DP.
+
+Implements the min-cost affine-gap lattice of the reference's mesh
+engine (/root/reference/src/mesh.h:263-528) as a scan over
+topologically-sorted graph nodes, computing one whole query-length row
+of cells per step with vector ops — batched over queries via vmap.
+
+Recurrences per node row j (min-cost; edge cells start at 1, matching
+``init_edge``, mesh.h:294-302):
+
+  D[j,i] = min(baseD, min_p min(V[p,i] + go*wd_j, D[p,i] + ge*wd_j))
+  Mc[j,i] = min_p V[p,i-1] + sub(j,i)
+  U[j,i] = prio-min(base, D, Mc)
+  I[j,i] = min(U[j,i-1] + go*wi_j, I[j,i-1] + ge*wi_j), I[j,0]=base
+  V[j,i] = I if I <= U else U        (insertion wins ties, mesh.h:351)
+
+The insertion track is solved in closed form per row with a prefix-min
+(cummin), keeping the whole row data-parallel.
+
+Documented deviations from the reference (see DESIGN.md):
+  * insertion track is true Gotoh; the reference greedily re-opens
+    (mesh.h:340-349).
+  * deletion track takes min over predecessors; the reference keeps the
+    last predecessor's gap run (mesh.h:305-330).
+  * ties among predecessors resolve to the lowest node id.
+
+Backpointers are packed per cell into uint16:
+  bits 0-1  V choice: 0=edge, 1=match, 2=deletion, 3=insertion
+  bits 2-4  match predecessor slot
+  bits 5-7  deletion predecessor slot
+  bit  8    deletion opened here (came from V[p,i], not D[p,i])
+  bit  9    insertion opened here (came from U[j,i-1])
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(1e6)
+
+CODE_EDGE = 0
+CODE_MATCH = 1
+CODE_DEL = 2
+CODE_INS = 3
+
+
+@dataclass(frozen=True)
+class DpParams:
+    """Already-negated scheme values (align.cpp:406: the aligner hands
+    -match/-mismatch to the minimising scheme)."""
+
+    match: float = -2.0
+    mismatch: float = 1.0
+    gap_open: float = 5.0
+    gap_ext: float = 2.0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "m_len", "params")
+)
+def poa_dp(
+    node_pos,      # (N,) int32
+    node_mask,     # (N,) int32 (uint8 widened)
+    node_weight,   # (N,) float32
+    preds,         # (N, P) int32, -1 = none
+    is_start,      # (N,) bool
+    is_end,        # (N,) bool
+    qmask,         # (M,) int32
+    qlen,          # () int32  actual query length
+    n_real,        # () int32  actual node count
+    col_weights,   # (Wpad,) float32 per-column weights (ones if simple)
+    n_nodes: int,
+    m_len: int,
+    params: DpParams,
+):
+    """Returns (bp (N, M) uint16, best_j, best_i, raw_score)."""
+    N, M = n_nodes, m_len
+    P = preds.shape[1]
+    go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
+
+    wcol = col_weights[node_pos]                      # (N,)
+    wins = col_weights[jnp.minimum(node_pos + 1, col_weights.shape[0] - 1)]
+    compat = (node_mask[:, None] & qmask[None, :] & 0xF) != 0  # (N, M)
+    sub = jnp.where(
+        compat, jnp.float32(params.match), jnp.float32(params.mismatch)
+    ) * (wcol * node_weight)[:, None]                 # (N, M)
+
+    iidx = jnp.arange(M, dtype=jnp.float32)
+    pred_row = preds + 1          # 0 = virtual BIG row
+    pred_ok = preds >= 0
+
+    V0 = jnp.full((N + 1, M), BIG, dtype=jnp.float32)
+    D0 = jnp.full((N + 1, M), BIG, dtype=jnp.float32)
+    BP0 = jnp.zeros((N, M), dtype=jnp.uint16)
+
+    def body(j, carry):
+        V, D, BP = carry
+        pj = pred_row[j]                          # (P,)
+        ok = pred_ok[j][:, None]                  # (P, 1)
+        Vp = jnp.where(ok, V[pj], BIG)            # (P, M)
+        Dp = jnp.where(ok, D[pj], BIG)
+
+        edge = is_start[j] | (jnp.arange(M) == 0)
+        base = jnp.where(edge, jnp.float32(1.0), BIG)  # (M,)
+
+        wd_o = go * wcol[j]
+        wd_e = ge * wcol[j]
+        d_open_cand = Vp + wd_o                   # (P, M)
+        d_ext_cand = Dp + wd_e
+        dcand = jnp.minimum(d_open_cand, d_ext_cand)
+        dslot = jnp.argmin(dcand, axis=0)         # (M,)
+        dmin = dcand.min(axis=0)
+        # tie: reference opens only on strict < (mesh.h:316-323)
+        dsel_open = (
+            jnp.take_along_axis(d_open_cand, dslot[None], 0)[0]
+            < jnp.take_along_axis(d_ext_cand, dslot[None], 0)[0]
+        )
+        Drow = jnp.minimum(base, dmin)
+
+        Vp_prev = jnp.concatenate(
+            [jnp.full((P, 1), BIG), Vp[:, :-1]], axis=1
+        )                                          # (P, M) V[p, i-1]
+        mslot = jnp.argmin(Vp_prev, axis=0)
+        Mc = Vp_prev.min(axis=0) + sub[j]
+
+        # U with reference tie priority: edge keeps ties vs D; M strict
+        U = base
+        codeU = jnp.zeros(M, dtype=jnp.uint16)
+        take_d = dmin < U
+        U = jnp.where(take_d, dmin, U)
+        codeU = jnp.where(take_d, jnp.uint16(CODE_DEL), codeU)
+        take_m = Mc < U
+        U = jnp.where(take_m, Mc, U)
+        codeU = jnp.where(take_m, jnp.uint16(CODE_MATCH), codeU)
+
+        # insertion track, closed form:
+        # I[i] = i*ge' + min(base[0], min_{k<i}(U[k] + go' - (k+1)*ge'))
+        go_i = go * wins[j]
+        ge_i = ge * wins[j]
+        cand = U + go_i - (iidx + 1.0) * ge_i
+        run = jax.lax.cummin(cand)
+        seed = jnp.float32(1.0)  # I[j,0] edge value
+        prefix = jnp.concatenate(
+            [seed[None], jnp.minimum(run[:-1], seed)]
+        )
+        Irow = prefix + iidx * ge_i
+        # opened at i (vs extended): U[i-1]+go <= I[i-1]+ge
+        Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
+        Uprev = jnp.concatenate([jnp.array([BIG]), U[:-1]])
+        ins_open = (Uprev + go_i) <= (Iprev + ge_i)
+
+        take_i = Irow <= U                         # ties -> insertion
+        Vrow = jnp.where(take_i, Irow, U)
+        code = jnp.where(take_i, jnp.uint16(CODE_INS), codeU)
+
+        bp_row = (
+            code
+            | (mslot.astype(jnp.uint16) << 2)
+            | (dslot.astype(jnp.uint16) << 5)
+            | (dsel_open.astype(jnp.uint16) << 8)
+            | (ins_open.astype(jnp.uint16) << 9)
+        )
+
+        V = jax.lax.dynamic_update_slice(V, Vrow[None], (j + 1, 0))
+        D = jax.lax.dynamic_update_slice(D, Drow[None], (j + 1, 0))
+        BP = jax.lax.dynamic_update_slice(BP, bp_row[None], (j, 0))
+        return V, D, BP
+
+    V, D, BP = jax.lax.fori_loop(0, N, body, (V0, D0, BP0))
+    Vm = V[1:]                                     # (N, M)
+
+    node_valid = jnp.arange(N) < n_real
+    # candidate 1: every node at the last real slave base
+    # (mesh.h:569-578)
+    last_col = jnp.take_along_axis(
+        Vm, jnp.full((N, 1), qlen - 1, dtype=jnp.int32), axis=1
+    )[:, 0]
+    c1 = jnp.where(node_valid, last_col, BIG)
+    j1 = jnp.argmin(c1)
+    v1 = c1[j1]
+    # candidate 2: end nodes at every slave position (mesh.h:580-592)
+    iok = jnp.arange(M) < qlen
+    c2 = jnp.where(
+        (is_end & node_valid)[:, None] & iok[None, :], Vm, BIG
+    )
+    flat = jnp.argmin(c2)
+    j2, i2 = flat // M, flat % M
+    v2 = c2[j2, i2]
+    use2 = v2 < v1                                  # strict (mesh.h:588)
+    best_j = jnp.where(use2, j2, j1)
+    best_i = jnp.where(use2, i2, qlen - 1)
+    raw = jnp.where(use2, v2, v1)
+    return BP, best_j, best_i, raw
+
+
+# batched variant over padded families/queries
+poa_dp_batch = jax.jit(
+    jax.vmap(
+        poa_dp,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
+    ),
+    static_argnames=("n_nodes", "m_len", "params"),
+)
+
+
+def traceback(
+    bp: np.ndarray,
+    best_j: int,
+    best_i: int,
+    node_pos: np.ndarray,
+    preds: np.ndarray,
+    is_start: np.ndarray,
+) -> list[tuple[int, int]]:
+    """Walk packed backpointers; returns [(node_or_-1, slave_i)] in
+    left-to-right slave order.  node -1 marks left-overhang bases (the
+    walk ended before slave position 0).  Inserted bases report the
+    anchor node (they share its column; the NAST shift later spreads
+    them, mesh.h:642-685 semantics)."""
+    def resolve(j: int, i: int) -> int:
+        """Follow deletion-valued cells back to the node where slave
+        base i is actually consumed (the reference's skip-cell logic,
+        mesh.h:648-655, generalised to chained deletions)."""
+        while not (is_start[j] or i == 0):
+            if int(bp[j, i]) & 0x3 != CODE_DEL:
+                break
+            # follow this cell's deletion chain to its opening
+            while True:
+                cell = int(bp[j, i])
+                slot = (cell >> 5) & 0x7
+                opened = (cell >> 8) & 1
+                j = int(preds[j, slot])
+                if opened or is_start[j]:
+                    break
+        return j
+
+    out = []  # (slave_i, node_j) emitted right-to-left
+    j, i = int(best_j), int(best_i)
+    j = resolve(j, i)
+    out.append((i, j))
+    while not (i == 0 or is_start[j]):
+        cell = int(bp[j, i])
+        c = cell & 0x3
+        if c == CODE_EDGE:
+            break  # free start: remaining bases are left overhang
+        if c == CODE_DEL:
+            # reached e.g. after an insertion run whose anchor's value
+            # came from the deletion track: hop back, no emission (the
+            # anchor was already emitted at the insertion node, as in
+            # the reference, mesh.h:664-684)
+            j = resolve(j, i)
+            continue
+        if c == CODE_MATCH:
+            slot = (cell >> 2) & 0x7
+            j = int(preds[j, slot])
+            i -= 1
+            j = resolve(j, i)
+            out.append((i, j))
+        else:  # CODE_INS: run of inserted bases anchored at node j
+            while True:
+                opened = (int(bp[j, i]) >> 9) & 1
+                i -= 1
+                if i < 0:
+                    break
+                out.append((i, j))
+                if opened:
+                    break
+            if i < 0:
+                break
+            # anchor consumed at j; continue main loop from (j, i)
+    head = out[-1][0]  # leftmost emitted slave index
+    return [(j, i) for (i, j) in reversed(out)], head
