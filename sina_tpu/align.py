@@ -167,6 +167,108 @@ def try_copy_alignment(
     return out, family
 
 
+def _bucket(n: int, step: int) -> int:
+    return max(step, -(-n // step) * step)
+
+
+def align_batch(
+    queries: list[Sequence],
+    families: list[list[tuple[float, Sequence]]],
+    cfg: AlignerConfig | None = None,
+    col_weights_list: list[np.ndarray | None] | None = None,
+    astats_names: list[str] | None = None,
+    node_bucket: int = 256,
+    query_bucket: int = 128,
+) -> list[Sequence | None]:
+    """Align a batch of queries, each against its own family.  DP runs
+    batched per (node, query-length) shape bucket via vmap; copy-path
+    and post-processing stay host-side."""
+    import jax.numpy as jnp
+
+    cfg = cfg or AlignerConfig()
+    B = len(queries)
+    col_weights_list = col_weights_list or [None] * B
+    astats_names = astats_names or [""] * B
+    results: list[Sequence | None] = [None] * B
+
+    todo = []  # (idx, q_upper, graph, cw, refs, log)
+    for idx, (query, family) in enumerate(zip(queries, families)):
+        if not family:
+            continue
+        log: list[str] = []
+        copied, family = try_copy_alignment(query, family, cfg, log)
+        if copied is not None:
+            copied.set_attr("align_log_slv", " ".join(log))
+            results[idx] = copied
+            continue
+        if not family:
+            continue
+        refs = [it[1] for it in family]
+        graph = build_graph(refs, cfg.fs_weight)
+        cw = np.ones(graph.width + 2, dtype=np.float32)
+        if col_weights_list[idx] is not None:
+            w = col_weights_list[idx]
+            cw[: len(w)] = w
+        q = query.copy()
+        if cfg.lowercase != LOWERCASE_ORIGINAL:
+            q.upper_case_all()
+        todo.append((idx, q, graph, cw, refs, log))
+
+    # group into shape buckets
+    buckets: dict[tuple[int, int], list] = {}
+    for item in todo:
+        _, q, graph, _, _, _ = item
+        key = (
+            _bucket(graph.n_nodes, node_bucket),
+            _bucket(len(q.masks), query_bucket),
+        )
+        buckets.setdefault(key, []).append(item)
+
+    from .ops.graph import pad_graph
+
+    params = cfg.dp_params()
+    for (npad, mpad), items in buckets.items():
+        g_list = [pad_graph(it[2], npad) for it in items]
+        wmax = max(len(it[3]) for it in items)
+        cw_pad = np.ones((len(items), wmax), dtype=np.float32)
+        qm = np.zeros((len(items), mpad), dtype=np.int32)
+        ql = np.zeros(len(items), dtype=np.int32)
+        nr = np.zeros(len(items), dtype=np.int32)
+        for b, it in enumerate(items):
+            _, q, graph, cw, _, _ = it
+            qm[b, : len(q.masks)] = q.masks
+            ql[b] = len(q.masks)
+            nr[b] = graph.n_nodes
+            cw_pad[b, : len(cw)] = cw
+        bp, bj, bi, raw = ak.poa_dp_batch(
+            jnp.asarray(np.stack([g.pos for g in g_list])),
+            jnp.asarray(
+                np.stack([g.mask.astype(np.int32) for g in g_list])
+            ),
+            jnp.asarray(np.stack([g.weight for g in g_list])),
+            jnp.asarray(np.stack([g.preds for g in g_list])),
+            jnp.asarray(np.stack([g.is_start for g in g_list])),
+            jnp.asarray(np.stack([g.is_end for g in g_list])),
+            jnp.asarray(qm),
+            jnp.asarray(ql),
+            jnp.asarray(nr),
+            jnp.asarray(cw_pad),
+            params,
+        )
+        bp = np.asarray(bp)
+        bj = np.asarray(bj)
+        bi = np.asarray(bi)
+        raw = np.asarray(raw)
+        for b, it in enumerate(items):
+            idx, q, graph, cw, refs, log = it
+            results[idx] = finish_alignment(
+                queries[idx], q, graph, bp[b], int(bj[b]),
+                int(bi[b]), float(raw[b]), cfg, cw, refs,
+                astats_names[idx], list(log),
+            )
+    return results
+
+
 def align_sequence(
     query: Sequence,
     family: list[tuple[float, Sequence]],

@@ -198,14 +198,30 @@ def poa_dp(
     return BP, best_j, best_i, raw
 
 
-# batched variant over padded families/queries
-poa_dp_batch = jax.jit(
-    jax.vmap(
-        poa_dp,
-        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None),
-    ),
-    static_argnames=("n_nodes", "m_len", "params"),
-)
+@functools.lru_cache(maxsize=64)
+def _batched_fn(n_nodes: int, m_len: int, params: DpParams):
+    """Compiled vmapped DP for one (node, query) shape bucket."""
+
+    def core(pos, mask, w, preds, st, en, qm, ql, nr, cw):
+        return poa_dp(
+            pos, mask, w, preds, st, en, qm, ql, nr, cw,
+            n_nodes=n_nodes, m_len=m_len, params=params,
+        )
+
+    return jax.jit(jax.vmap(core))
+
+
+def poa_dp_batch(
+    pos, mask, weight, preds, is_start, is_end,
+    qmask, qlen, n_real, col_weights, params: DpParams,
+):
+    """Batched DP over stacked padded graphs/queries: leading batch
+    axis on every array argument."""
+    fn = _batched_fn(pos.shape[1], qmask.shape[1], params)
+    return fn(
+        pos, mask, weight, preds, is_start, is_end,
+        qmask, qlen, n_real, col_weights,
+    )
 
 
 def traceback(

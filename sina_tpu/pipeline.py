@@ -1,0 +1,220 @@
+"""Pipeline orchestrator: reader -> famfinder -> aligner -> search ->
+writers -> stats.
+
+The reference wires per-sequence functors into a TBB flow graph
+(/root/reference/src/sina.cpp:443-593).  Here the pipeline pulls
+*batches* of queries so the two device stages (k-mer scoring and the
+alignment DP) run wide: one device call scores a whole batch (and all
+turn-check orientations), one vmapped DP call aligns a shape bucket.
+Order is preserved by construction.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from .align import AlignerConfig, align_batch
+from .famfinder import FamFinder, FamFinderConfig, FamilyResult
+from .io.csv import CsvWriter
+from .io.fasta import FastaWriter, read_fasta
+from .log_stats import StatsPrinter
+from .refdb import ReferenceDb
+from .search import SearchConfig, SearchFilter
+from .sequence import Sequence
+
+logger = logging.getLogger("sina.pipeline")
+
+
+@dataclass
+class PipelineConfig:
+    in_path: str = "-"
+    outputs: list[tuple[str, str]] = field(default_factory=list)
+    db: str | None = None
+    search_db: str | None = None
+    prealigned: bool = False
+    do_search: bool = False
+    add_relatives: int = 0
+    fields: list[str] = field(default_factory=list)
+    batch_size: int = 64
+    show_dist: bool = False
+    orig_db: str | None = None
+
+    famfinder: FamFinderConfig = field(default_factory=FamFinderConfig)
+    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+    search: SearchConfig = field(default_factory=SearchConfig)
+
+    # fasta writer options
+    meta_fmt: str = "none"
+    line_length: int = 0
+    out_dots: bool = False
+    out_dna: bool = False
+    min_idty: float = 0.0
+    fasta_block: int = 0
+    fasta_idx: int = 0
+    # csv writer options
+    csv_crlf: bool = False
+    csv_id: str = "name"
+
+
+class Pipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.db: ReferenceDb | None = None
+        self.finder: FamFinder | None = None
+        self.searcher: SearchFilter | None = None
+
+        if not cfg.prealigned:
+            if not cfg.db:
+                raise ValueError(
+                    "Family Finder: Must have reference database "
+                    "(--db/-r)"
+                )
+            self.db = ReferenceDb.open(cfg.db)
+            self.finder = FamFinder(self.db, cfg.famfinder)
+        if cfg.do_search:
+            sdb_path = cfg.search_db or cfg.db
+            if not sdb_path:
+                raise ValueError("need search-db to search")
+            if self.db is not None and (
+                cfg.search_db in (None, cfg.db)
+            ):
+                sdb = self.db
+            else:
+                sdb = ReferenceDb.open(sdb_path)
+            self.searcher = SearchFilter(sdb, cfg.search, self.finder)
+
+        self.stats = StatsPrinter(show_dist=cfg.show_dist)
+        if cfg.orig_db:
+            self.stats.orig_db = ReferenceDb.open(cfg.orig_db)
+        ref_for_pairs = self.db or (
+            self.searcher.db if self.searcher else None
+        )
+        if ref_for_pairs is not None and len(ref_for_pairs.pairs):
+            self.stats.helix_pairs = ref_for_pairs.pairs
+
+    # -- writers ------------------------------------------------------
+
+    def _open_writers(self):
+        writers = []
+        for outtype, path in self.cfg.outputs:
+            if outtype == "fasta":
+                writers.append(
+                    (
+                        "fasta",
+                        FastaWriter(
+                            path,
+                            meta=self.cfg.meta_fmt,
+                            line_length=self.cfg.line_length,
+                            dots=self.cfg.out_dots,
+                            dna=self.cfg.out_dna,
+                            min_idty=self.cfg.min_idty,
+                            copy_relatives=self.cfg.add_relatives,
+                        ),
+                    )
+                )
+            elif outtype == "csv":
+                writers.append(
+                    (
+                        "csv",
+                        CsvWriter(
+                            path,
+                            fields=self.cfg.fields or None,
+                            crlf=self.cfg.csv_crlf,
+                            id_name=self.cfg.csv_id,
+                        ),
+                    )
+                )
+            elif outtype == "none":
+                continue
+            else:
+                raise ValueError(f"unsupported output type {outtype}")
+        return writers
+
+    # -- batch processing ---------------------------------------------
+
+    def _process_batch(
+        self, batch: list[Sequence]
+    ) -> list[tuple[Sequence, Sequence | None, list]]:
+        cfg = self.cfg
+        if cfg.prealigned:
+            aligned = [q.copy() for q in batch]
+            for a in aligned:
+                a.set_attr("align_quality_slv", 100)
+            families = [[] for _ in batch]
+        else:
+            results: list[FamilyResult] = [
+                self.finder(q) for q in batch
+            ]
+            families = [r.family for r in results]
+            aligned = align_batch(
+                batch,
+                [r.family if not r.failed else [] for r in results],
+                cfg.aligner,
+                [r.astats_weights for r in results],
+                [r.astats_name for r in results],
+            )
+        out = []
+        for q, a, fam in zip(batch, aligned, families):
+            rel = fam
+            if self.searcher is not None and a is not None:
+                a = self.searcher(a)
+                rel = getattr(a, "search_result", None) or fam
+            out.append((q, a, rel))
+        return out
+
+    def run(self) -> dict:
+        cfg = self.cfg
+        writers = self._open_writers()
+        t0 = time.time()
+        n_in = 0
+        n_aligned = 0
+        seqno = 0
+        batch: list[Sequence] = []
+
+        def flush(batch):
+            nonlocal n_aligned, seqno
+            for q, a, rel in self._process_batch(batch):
+                seqno += 1
+                self.stats(q, a, rel or [], seqno)
+                rel_seqs = [s for _, s in rel] if rel else []
+                for kind, w in writers:
+                    if kind == "fasta":
+                        w.write_result(a, rel_seqs)
+                    else:
+                        w.write(a)
+                if a is not None:
+                    n_aligned += 1
+
+        for seq in read_fasta(
+            cfg.in_path,
+            block_size=cfg.fasta_block,
+            block_idx=cfg.fasta_idx,
+        ):
+            batch.append(seq)
+            n_in += 1
+            if len(batch) >= cfg.batch_size:
+                flush(batch)
+                batch = []
+        if batch:
+            flush(batch)
+
+        for _, w in writers:
+            w.close()
+        self.stats.log_summary()
+        elapsed = time.time() - t0
+        rate = n_in / elapsed if elapsed > 0 else 0.0
+        logger.warning(
+            "Took %.1fs to align %d of %d sequences (%.1f seq/s)",
+            elapsed, n_aligned, n_in, rate,
+        )
+        summary = self.stats.summary()
+        summary.update(
+            n_in=n_in, n_aligned=n_aligned,
+            elapsed=elapsed, seq_per_s=rate,
+        )
+        return summary

@@ -1,0 +1,184 @@
+"""Search & classify stage.
+
+Port of the semantics of search_filter
+(/root/reference/src/search_filter.cpp:243-416): retrieve candidates
+(k-mer heuristic or brute-force all), re-score with the MSA-based
+comparator, threshold + cap, write `nearest_slv`, copy requested
+fields and run the LCA taxonomy vote per requested field.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .comparator import (
+    Comparator,
+    IUPAC_OPTIMISTIC,
+    DIST_NONE,
+    COVER_QUERY,
+)
+from .famfinder import FamFinder, FamFinderConfig
+from .refdb import ReferenceDb
+from .sequence import Sequence
+
+logger = logging.getLogger("sina.search")
+
+FN_NEAREST = "nearest_slv"
+
+
+@dataclass
+class SearchConfig:
+    min_sim: float = 0.7
+    max_result: int = 10
+    kmer_candidates: int = 1000
+    search_all: bool = False
+    ignore_super: bool = False
+    lca_fields: list[str] = field(default_factory=list)
+    lca_quorum: float = 0.7
+    copy_fields: list[str] = field(default_factory=list)
+    kmer_len: int = 10
+    no_fast: bool = False
+    # comparator options (cseq_comparator.cpp:433-482 defaults)
+    iupac: str = IUPAC_OPTIMISTIC
+    correction: str = DIST_NONE
+    cover: str = COVER_QUERY
+    filter_lowercase: bool = False
+
+
+def lca_classify(
+    tax_paths: list[list[str]], n_results: int, quorum: float
+) -> str:
+    """LCA vote over ';'-separated taxonomy paths
+    (search_filter.cpp:374-413): accept the deepest prefix shared by
+    all paths after discarding at most (1-quorum)*n outliers."""
+    groups = [list(reversed(p)) for p in tax_paths]
+    outliers = int(n_results * (1 - quorum) + 0.5)
+    result: list[str] = []
+    while outliers >= 0 and groups:
+        first = groups[0]
+        if not first:
+            groups.pop(0)
+            outliers -= 1
+            continue
+        name = first[-1]
+        mismatch = next(
+            (
+                gi
+                for gi, g in enumerate(groups[1:], 1)
+                if not g or g[-1] != name
+            ),
+            None,
+        )
+        if mismatch is not None:
+            groups.pop(mismatch)
+            outliers -= 1
+            continue
+        for g in groups:
+            g.pop()
+        result.append(name)
+    res = ";".join(result) + ";" if result else ""
+    if not res or res == ";":
+        return "Unclassified;"
+    return res
+
+
+class SearchFilter:
+    def __init__(
+        self,
+        db: ReferenceDb,
+        cfg: SearchConfig | None = None,
+        finder: FamFinder | None = None,
+    ):
+        self.db = db
+        self.cfg = cfg or SearchConfig()
+        c = self.cfg
+        self.comparator = Comparator(
+            c.iupac, c.correction, c.cover, c.filter_lowercase
+        )
+        if c.search_all:
+            self.finder = None
+        elif finder is not None and finder.db is db:
+            self.finder = finder
+        else:
+            self.finder = FamFinder(
+                db,
+                FamFinderConfig(
+                    fs_kmer_len=c.kmer_len, fs_no_fast=c.no_fast
+                ),
+            )
+
+    def _contains_query(self, ref: Sequence, q: Sequence) -> bool:
+        """Aligned containment with IUPAC-aware equality
+        (search_filter.cpp:225-230)."""
+        rb = ref.get_bases().upper().replace("U", "T")
+        qb = q.get_bases().upper().replace("U", "T")
+        return qb in rb
+
+    def __call__(self, aligned: Sequence | None) -> Sequence | None:
+        if aligned is None:
+            return None
+        cfg = self.cfg
+        if len(aligned) < 20:
+            logger.info(
+                "%s: sequence too short for search (<20 bases)",
+                aligned.name,
+            )
+            return aligned
+
+        if cfg.search_all:
+            cand_ids = range(len(self.db))
+        else:
+            ranked = self.finder.find(aligned, cfg.kmer_candidates)
+            cand_ids = [sid for _, sid in ranked]
+
+        items = []
+        for sid in cand_ids:
+            ref = self.db.sequences[sid]
+            if cfg.ignore_super and self._contains_query(ref, aligned):
+                continue
+            items.append((self.comparator(aligned, ref), ref))
+        items.sort(key=lambda t: -t[0])
+        items = [
+            it
+            for it in items[: cfg.max_result]
+            if it[0] > cfg.min_sim
+        ]
+
+        nearest = []
+        tax_by_field: dict[str, list[list[str]]] = {}
+        for score, ref in items:
+            for f in cfg.lca_fields:
+                path = str(ref.get_attr(f, ""))
+                if path == "Unclassified;":
+                    continue
+                parts = [
+                    p for p in path.split(";") if p and p != " "
+                ]
+                tax_by_field.setdefault(f, []).append(parts)
+            nearest.append(
+                f"{ref.get_attr('acc', ref.name)}."
+                f"{ref.get_attr('version', '')}."
+                f"{ref.get_attr('start', '')}."
+                f"{ref.get_attr('stop', '')}~{score:.3f}"
+            )
+            acc = str(ref.get_attr("acc", ref.name))
+            for f in cfg.copy_fields:
+                aligned.set_attr(
+                    f"copy_{acc}_{f}", ref.get_attr(f, "")
+                )
+        aligned.set_attr(FN_NEAREST, " ".join(nearest))
+
+        for f in cfg.lca_fields:
+            aligned.set_attr(
+                "lca_" + f,
+                lca_classify(
+                    tax_by_field.get(f, []),
+                    len(items),
+                    cfg.lca_quorum,
+                ),
+            )
+        aligned.search_result = items  # type: ignore[attr-defined]
+        return aligned
