@@ -1,0 +1,120 @@
+"""Benchmark: full-length rRNA alignment throughput on one chip.
+
+Headline metric mirrors the reference's own number — full-length
+sequences aligned per second against a reference database
+(/root/reference/README.rst:33: 100k seqs vs SILVA NR in 40 min on a
+2018 desktop ≈ 42 seq/s).  Workload: synthetic full-length (~1400nt)
+queries against a synthetic SILVA-like reference; steady-state rate
+measured after a warmup batch (compile time excluded, as the
+reference's number excludes ARB/index startup).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "seq/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_SEQ_S = 42.0  # reference: 100k full-length / 40 min
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-refs", type=int, default=2000)
+    ap.add_argument("--width", type=int, default=2400)
+    ap.add_argument("--n-core", type=int, default=1450)
+    ap.add_argument("--n-queries", type=int, default=192)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--fs-max", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.align import AlignerConfig, align_batch
+    from sina_tpu.famfinder import FamFinder, FamFinderConfig
+
+    t0 = time.time()
+    db = testing.make_reference(
+        n_seqs=args.n_refs,
+        n_core=args.n_core,
+        width=args.width,
+        seed=1234,
+    )
+    queries = [
+        testing.unaligned_copy(q)
+        for q in testing.make_queries(
+            db, n=args.n_queries, seed=7, branch_len=0.7
+        )
+    ]
+    t_gen = time.time() - t0
+
+    t0 = time.time()
+    finder = FamFinder(
+        db,
+        FamFinderConfig(
+            fs_min=args.fs_max,
+            fs_max=args.fs_max,
+            fs_full_len=min(1400, args.n_core - 100),
+            fs_req_gaps=1,
+        ),
+    )
+    finder._matrix()  # place index in device memory
+    t_index = time.time() - t0
+
+    acfg = AlignerConfig()
+
+    def run(batch):
+        results = [finder(q) for q in batch]
+        aligned = align_batch(
+            batch,
+            [r.family if not r.failed else [] for r in results],
+            acfg,
+        )
+        return sum(1 for a in aligned if a is not None)
+
+    # warmup (compile)
+    t0 = time.time()
+    n_warm = run(queries[: args.batch_size])
+    t_warm = time.time() - t0
+
+    # timed steady state
+    t0 = time.time()
+    n_done = 0
+    for i in range(args.batch_size, len(queries), args.batch_size):
+        n_done += run(queries[i : i + args.batch_size])
+    elapsed = time.time() - t0
+    n_timed = len(queries) - args.batch_size
+
+    rate = n_timed / elapsed if elapsed > 0 else 0.0
+    print(
+        f"# gen={t_gen:.1f}s index={t_index:.1f}s warmup={t_warm:.1f}s "
+        f"timed {n_timed} seqs in {elapsed:.1f}s "
+        f"(aligned {n_done + n_warm}/{len(queries)})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "full-length rRNA alignment throughput (1 chip)",
+                "value": round(rate, 2),
+                "unit": "seq/s",
+                "vs_baseline": round(rate / BASELINE_SEQ_S, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

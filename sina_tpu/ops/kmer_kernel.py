@@ -39,7 +39,13 @@ def kmer_scores_xla(P, kmers, chunk: int = 32):
         rows = jnp.take(P, kk, axis=0).astype(jnp.int32)  # (B, chunk, S)
         return acc + rows.sum(axis=1), None
 
-    acc0 = jnp.zeros((B, S), dtype=jnp.int32)
+    # derive the carry from both inputs so its varying-manual-axes
+    # match under shard_map (jax vma rules for scan carries)
+    acc0 = (
+        jnp.zeros((B, S), dtype=jnp.int32)
+        + (kmers[:, :1] * 0)
+        + (P[:1, :1].astype(jnp.int32) * 0)
+    )
     acc, _ = jax.lax.scan(step, acc0, kc)
     return acc
 
