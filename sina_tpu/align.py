@@ -197,6 +197,10 @@ def align_batch(
             continue
         log: list[str] = []
         copied, family = try_copy_alignment(query, family, cfg, log)
+        # the reference's tray shares the family vector, so later
+        # stages see the aligner's filtering (align.cpp:337-345);
+        # mirror that by updating the caller's list in place
+        families[idx] = family
         if copied is not None:
             copied.set_attr("align_log_slv", " ".join(log))
             results[idx] = copied
@@ -255,14 +259,15 @@ def align_batch(
             jnp.asarray(cw_pad),
             params,
         )
-        bp = np.asarray(bp)
+        emit = np.asarray(bp)
         bj = np.asarray(bj)
         bi = np.asarray(bi)
         raw = np.asarray(raw)
         for b, it in enumerate(items):
             idx, q, graph, cw, refs, log = it
+            pairs, head = ak.emit_to_pairs(emit[b])
             results[idx] = finish_alignment(
-                queries[idx], q, graph, bp[b], int(bj[b]),
+                queries[idx], q, graph, pairs, head, int(bj[b]),
                 int(bi[b]), float(raw[b]), cfg, cw, refs,
                 astats_names[idx], list(log),
             )
@@ -322,11 +327,16 @@ def align_sequence(
         m_len=m,
         params=cfg.dp_params(),
     )
+    pairs, head = ak.traceback(
+        np.asarray(bp), int(bj), int(bi),
+        graph.pos, graph.preds, graph.is_start,
+    )
     return finish_alignment(
         query,
         q,
         graph,
-        np.asarray(bp),
+        pairs,
+        head,
         int(bj),
         int(bi),
         float(raw),
@@ -342,7 +352,8 @@ def finish_alignment(
     query: Sequence,
     q_upper: Sequence,
     graph: LinearGraph,
-    bp: np.ndarray,
+    pairs: list[tuple[int, int]],
+    head: int,
     best_j: int,
     best_i: int,
     raw: float,
@@ -352,13 +363,12 @@ def finish_alignment(
     astats_name: str,
     log: list[str],
 ) -> Sequence | None:
-    """Host post-processing: traceback, overhang, NAST shift, attrs
-    (mesh.h:534-739 + align.cpp:475-521 semantics)."""
+    """Host post-processing: overhang, NAST shift, attrs
+    (mesh.h:534-739 + align.cpp:475-521 semantics).  `pairs` is the
+    traceback emission [(node, slave_i)] left-to-right; `head` the
+    first consumed slave index."""
     width = graph.width
     m = len(q_upper.masks)
-    pairs, head = ak.traceback(
-        bp, best_j, best_i, graph.pos, graph.preds, graph.is_start
-    )
 
     lowercase_unaligned = cfg.lowercase == LOWERCASE_UNALIGNED
     positions: list[int] = []

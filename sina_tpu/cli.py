@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-file", default="")
     p.add_argument("--show-dist", action="store_true")
     p.add_argument("--orig-db", default="")
+    p.add_argument("--select-step", type=int, default=1,
+                   help="read every Nth input sequence")
+    p.add_argument("--select-skip", type=int, default=0,
+                   help="skip the first N input sequences")
+    p.add_argument("--select-file", default="",
+                   help="file with names of sequences to process")
 
     g = p.add_argument_group("Aligner")
     g.add_argument("--realign", action="store_true")
@@ -283,6 +289,9 @@ def config_from_args(args) -> PipelineConfig:
         fasta_idx=args.fasta_idx,
         csv_crlf=args.csv_crlf,
         csv_id=args.csv_id,
+        select_step=args.select_step,
+        select_skip=args.select_skip,
+        select_file=args.select_file,
     )
 
 

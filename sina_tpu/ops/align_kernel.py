@@ -200,13 +200,19 @@ def poa_dp(
 
 @functools.lru_cache(maxsize=64)
 def _batched_fn(n_nodes: int, m_len: int, params: DpParams):
-    """Compiled vmapped DP for one (node, query) shape bucket."""
+    """Compiled vmapped DP + on-device traceback for one shape bucket.
+    Only the per-base emission array leaves the device; the V/D/BP
+    lattices live and die in HBM."""
 
     def core(pos, mask, w, preds, st, en, qm, ql, nr, cw):
-        return poa_dp(
+        bp, bj, bi, raw = poa_dp(
             pos, mask, w, preds, st, en, qm, ql, nr, cw,
             n_nodes=n_nodes, m_len=m_len, params=params,
         )
+        emit = traceback_device(
+            bp, bj, bi, preds, st, n_nodes, m_len
+        )
+        return emit, bj, bi, raw
 
     return jax.jit(jax.vmap(core))
 
@@ -216,12 +222,122 @@ def poa_dp_batch(
     qmask, qlen, n_real, col_weights, params: DpParams,
 ):
     """Batched DP over stacked padded graphs/queries: leading batch
-    axis on every array argument."""
+    axis on every array argument.  Returns (emit (B, M), best_j,
+    best_i, raw)."""
     fn = _batched_fn(pos.shape[1], qmask.shape[1], params)
     return fn(
         pos, mask, weight, preds, is_start, is_end,
         qmask, qlen, n_real, col_weights,
     )
+
+
+def emit_to_pairs(emit: np.ndarray) -> tuple[list, int]:
+    """Convert a device emission row to ([(node, slave_i)], head)."""
+    idx = np.nonzero(emit >= 0)[0]
+    pairs = [(int(emit[i]), int(i)) for i in idx]
+    head = int(idx[0]) if len(idx) else 0
+    return pairs, head
+
+
+# device traceback state machine states
+_S_RESOLVE = 0       # check for deletion-valued cell, then emit
+_S_CHAIN = 1         # following a deletion chain (emit after)
+_S_DECIDE = 2        # base i emitted; decode next move
+_S_INS = 3           # inside an insertion run
+_S_RESOLVE_NE = 4    # resolve without emitting (post-insertion)
+_S_CHAIN_NE = 5      # chain without emitting
+_S_DONE = 6
+
+
+def traceback_device(bp, best_j, best_i, preds, is_start, n_nodes: int,
+                     m_len: int):
+    """On-device traceback: returns emit (M,) int32 with the node id
+    consuming each slave base (-1 = not consumed / overhang).  Same
+    semantics as the host `traceback`; runs as a while_loop so the
+    backpointer lattice never leaves the device."""
+    M = m_len
+
+    def cond(c):
+        return c[3] != _S_DONE
+
+    def body(c):
+        j, i, emit, state = c
+        cell = bp[j, i].astype(jnp.int32)
+        code = cell & 0x3
+        mslot = (cell >> 2) & 0x7
+        dslot = (cell >> 5) & 0x7
+        dopen = (cell >> 8) & 1
+        iopen = (cell >> 9) & 1
+        at_edge = (i == 0) | is_start[j]
+
+        def mk_resolve(emitting):
+            def s_resolve(_):
+                is_del = (code == CODE_DEL) & ~at_edge
+                chain = _S_CHAIN if emitting else _S_CHAIN_NE
+                if emitting:
+                    nxt_emit = jnp.where(
+                        is_del, emit, emit.at[i].set(j)
+                    )
+                else:
+                    nxt_emit = emit
+                ns = jnp.where(is_del, chain, _S_DECIDE)
+                return j, i, nxt_emit, ns
+            return s_resolve
+
+        def mk_chain(emitting):
+            def s_chain(_):
+                pj = preds[j, dslot]
+                pj = jnp.where(pj < 0, j, pj)  # safety
+                stop = (dopen == 1) | is_start[pj]
+                resolve = _S_RESOLVE if emitting else _S_RESOLVE_NE
+                chain = _S_CHAIN if emitting else _S_CHAIN_NE
+                return pj, i, emit, jnp.where(stop, resolve, chain)
+            return s_chain
+
+        def s_decide(_):
+            done = at_edge | (code == CODE_EDGE)
+            is_m = code == CODE_MATCH
+            is_i = code == CODE_INS
+            pj = preds[j, mslot]
+            pj = jnp.where(pj < 0, j, pj)
+            nj = jnp.where(is_m & ~done, pj, j)
+            ni = jnp.where(is_m & ~done, i - 1, i)
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(
+                    is_m, _S_RESOLVE,
+                    jnp.where(is_i, _S_INS, _S_CHAIN_NE),
+                ),
+            )
+            return nj, ni, emit, ns
+
+        def s_ins(_):
+            ni = i - 1
+            done = ni < 0
+            safe = jnp.maximum(ni, 0)
+            nxt_emit = jnp.where(done, emit, emit.at[safe].set(j))
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(iopen == 1, _S_DECIDE, _S_INS),
+            )
+            return j, safe, nxt_emit, ns
+
+        return jax.lax.switch(
+            state,
+            [
+                mk_resolve(True), mk_chain(True), s_decide, s_ins,
+                mk_resolve(False), mk_chain(False),
+            ],
+            None,
+        )
+
+    emit0 = jnp.full((M,), -1, dtype=jnp.int32)
+    j0 = best_j.astype(jnp.int32)
+    i0 = best_i.astype(jnp.int32)
+    j, i, emit, state = jax.lax.while_loop(
+        cond, body, (j0, i0, emit0, jnp.int32(_S_RESOLVE))
+    )
+    return emit
 
 
 def traceback(

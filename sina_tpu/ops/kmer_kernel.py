@@ -64,31 +64,40 @@ def _pallas_kernel(kmer_ref, P_row, out_ref):
 
 @functools.partial(jax.jit, static_argnames=())
 def kmer_scores_pallas(P, kmers):
-    """TPU path.  P: (R+1, S) int8, kmers: (B, L) int32 -> (B, S) int32."""
+    """TPU path.  P: (R+1, S) int8, kmers: (B, L) int32 -> (B, S) int32.
+
+    Rows are viewed as (R+1, 1, S) so the (1, 1, S) block satisfies the
+    TPU tiling rule (last two block dims equal to the array's); each
+    grid step (b, l) DMAs row kmer[b, l] HBM->VMEM (auto-pipelined)
+    and accumulates into the b-th VMEM-resident output row."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, L = kmers.shape
     S = P.shape[1]
+    P3 = P.reshape(P.shape[0], 1, S)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, L),
         in_specs=[
             pl.BlockSpec(
-                (1, S), lambda b, l, kref: (kref[b, l], 0)
+                (1, 1, S), lambda b, l, kref: (kref[b, l], 0, 0)
             ),
         ],
-        out_specs=pl.BlockSpec((1, S), lambda b, l, kref: (b, 0)),
+        out_specs=pl.BlockSpec(
+            (1, 1, S), lambda b, l, kref: (b, 0, 0)
+        ),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _pallas_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, S), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(kmers, P)
+    )(kmers, P3)
+    return out.reshape(B, S)
 
 
 def kmer_scores(P, kmers):

@@ -59,6 +59,10 @@ class PipelineConfig:
     # csv writer options
     csv_crlf: bool = False
     csv_id: str = "name"
+    # input striding (rw_arb.cpp:184-284 --select-* semantics)
+    select_step: int = 1
+    select_skip: int = 0
+    select_file: str = ""
 
 
 class Pipeline:
@@ -150,10 +154,14 @@ class Pipeline:
             results: list[FamilyResult] = [
                 self.finder(q) for q in batch
             ]
-            families = [r.family for r in results]
+            # align_batch updates this list in place when the aligner
+            # filters the family (realign / containment)
+            families = [
+                r.family if not r.failed else [] for r in results
+            ]
             aligned = align_batch(
                 batch,
-                [r.family if not r.failed else [] for r in results],
+                families,
                 cfg.aligner,
                 [r.astats_weights for r in results],
                 [r.astats_name for r in results],
@@ -166,6 +174,41 @@ class Pipeline:
                 rel = getattr(a, "search_result", None) or fam
             out.append((q, a, rel))
         return out
+
+    def _read_input(self):
+        """Yield input sequences: FASTA(.gz) files, or a .sref bundle
+        (accuracy-harness style: the reference reads queries straight
+        from the ARB reference DB).  --select-step/skip/file stride or
+        filter by name (rw_arb.cpp:184-284)."""
+        cfg = self.cfg
+        p = Path(cfg.in_path) if cfg.in_path != "-" else None
+        if p is not None and p.is_dir() and (p / "meta.json").exists():
+            if self.db is not None and str(
+                Path(cfg.db).resolve()
+            ) == str(p.resolve()):
+                src_db = self.db
+            else:
+                src_db = ReferenceDb.open(p)
+            seqs = (s.copy() for s in src_db.sequences)
+        else:
+            seqs = read_fasta(
+                cfg.in_path,
+                block_size=cfg.fasta_block,
+                block_idx=cfg.fasta_idx,
+            )
+        wanted = None
+        if cfg.select_file:
+            wanted = set(
+                Path(cfg.select_file).read_text().split()
+            )
+        for i, seq in enumerate(seqs):
+            if wanted is not None and seq.name not in wanted:
+                continue
+            if i < cfg.select_skip:
+                continue
+            if (i - cfg.select_skip) % cfg.select_step != 0:
+                continue
+            yield seq
 
     def run(self) -> dict:
         cfg = self.cfg
@@ -190,11 +233,7 @@ class Pipeline:
                 if a is not None:
                     n_aligned += 1
 
-        for seq in read_fasta(
-            cfg.in_path,
-            block_size=cfg.fasta_block,
-            block_idx=cfg.fasta_idx,
-        ):
+        for seq in self._read_input():
             batch.append(seq)
             n_in += 1
             if len(batch) >= cfg.batch_size:
