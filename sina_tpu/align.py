@@ -68,6 +68,16 @@ class AlignerConfig:
     calc_idty: bool = False
     write_used_rels: bool = False
     fs_no_graph: bool = False
+    # "profile" (pseq chain DP, the TPU-native default), "graph"
+    # (mseq DAG DP, the reference's default), or "auto" (= profile)
+    engine: str = "auto"
+
+    def resolved_engine(self) -> str:
+        if self.fs_no_graph:
+            return "profile"
+        if self.engine == "auto":
+            return "profile"
+        return self.engine
 
     def dp_params(self) -> ak.DpParams:
         # the reference negates match/mismatch when building the
@@ -191,7 +201,8 @@ def align_batch(
     astats_names = astats_names or [""] * B
     results: list[Sequence | None] = [None] * B
 
-    todo = []  # (idx, q_upper, graph, cw, refs, log)
+    engine = cfg.resolved_engine()
+    todo = []  # (idx, q_upper, template, cw, refs, log)
     for idx, (query, family) in enumerate(zip(queries, families)):
         if not family:
             continue
@@ -208,70 +219,145 @@ def align_batch(
         if not family:
             continue
         refs = [it[1] for it in family]
-        graph = build_graph(refs, cfg.fs_weight)
-        cw = np.ones(graph.width + 2, dtype=np.float32)
-        if col_weights_list[idx] is not None:
-            w = col_weights_list[idx]
-            cw[: len(w)] = w
+        if engine == "graph":
+            template = build_graph(refs, cfg.fs_weight)
+            cw = np.ones(template.width + 2, dtype=np.float32)
+            if col_weights_list[idx] is not None:
+                w = col_weights_list[idx]
+                cw[: len(w)] = w
+        else:
+            from .ops.profile import build_profile
+
+            template = build_profile(refs)
+            # scoring_scheme_profile is unweighted (align.cpp:429-432)
+            cw = np.ones(template.width + 2, dtype=np.float32)
         q = query.copy()
         if cfg.lowercase != LOWERCASE_ORIGINAL:
             q.upper_case_all()
-        todo.append((idx, q, graph, cw, refs, log))
+        todo.append((idx, q, template, cw, refs, log))
 
     # group into shape buckets
     buckets: dict[tuple[int, int], list] = {}
     for item in todo:
-        _, q, graph, _, _, _ = item
+        _, q, template, _, _, _ = item
+        n = (
+            template.n_nodes if engine == "graph" else template.n_cols
+        )
         key = (
-            _bucket(graph.n_nodes, node_bucket),
+            _bucket(n, node_bucket),
             _bucket(len(q.masks), query_bucket),
         )
         buckets.setdefault(key, []).append(item)
 
-    from .ops.graph import pad_graph
-
     params = cfg.dp_params()
     for (npad, mpad), items in buckets.items():
-        g_list = [pad_graph(it[2], npad) for it in items]
-        wmax = max(len(it[3]) for it in items)
-        cw_pad = np.ones((len(items), wmax), dtype=np.float32)
-        qm = np.zeros((len(items), mpad), dtype=np.int32)
-        ql = np.zeros(len(items), dtype=np.int32)
-        nr = np.zeros(len(items), dtype=np.int32)
-        for b, it in enumerate(items):
-            _, q, graph, cw, _, _ = it
-            qm[b, : len(q.masks)] = q.masks
-            ql[b] = len(q.masks)
-            nr[b] = graph.n_nodes
-            cw_pad[b, : len(cw)] = cw
-        bp, bj, bi, raw = ak.poa_dp_batch(
-            jnp.asarray(np.stack([g.pos for g in g_list])),
-            jnp.asarray(
-                np.stack([g.mask.astype(np.int32) for g in g_list])
-            ),
-            jnp.asarray(np.stack([g.weight for g in g_list])),
-            jnp.asarray(np.stack([g.preds for g in g_list])),
-            jnp.asarray(np.stack([g.is_start for g in g_list])),
-            jnp.asarray(np.stack([g.is_end for g in g_list])),
-            jnp.asarray(qm),
-            jnp.asarray(ql),
-            jnp.asarray(nr),
-            jnp.asarray(cw_pad),
-            params,
-        )
-        emit = np.asarray(bp)
-        bj = np.asarray(bj)
-        bi = np.asarray(bi)
-        raw = np.asarray(raw)
-        for b, it in enumerate(items):
-            idx, q, graph, cw, refs, log = it
-            pairs, head = ak.emit_to_pairs(emit[b])
-            results[idx] = finish_alignment(
-                queries[idx], q, graph, pairs, head, int(bj[b]),
-                int(bi[b]), float(raw[b]), cfg, cw, refs,
-                astats_names[idx], list(log),
+        if engine == "graph":
+            _run_graph_bucket(
+                items, npad, mpad, params, cfg, queries,
+                astats_names, results,
+            )
+        else:
+            _run_profile_bucket(
+                items, npad, mpad, params, cfg, queries,
+                astats_names, results,
             )
     return results
+
+
+def _run_graph_bucket(
+    items, npad, mpad, params, cfg, queries, astats_names, results
+):
+    import jax.numpy as jnp
+
+    from .ops.graph import pad_graph
+
+    g_list = [pad_graph(it[2], npad) for it in items]
+    wmax = max(len(it[3]) for it in items)
+    cw_pad = np.ones((len(items), wmax), dtype=np.float32)
+    qm = np.zeros((len(items), mpad), dtype=np.int32)
+    ql = np.zeros(len(items), dtype=np.int32)
+    nr = np.zeros(len(items), dtype=np.int32)
+    for b, it in enumerate(items):
+        _, q, graph, cw, _, _ = it
+        qm[b, : len(q.masks)] = q.masks
+        ql[b] = len(q.masks)
+        nr[b] = graph.n_nodes
+        cw_pad[b, : len(cw)] = cw
+    emit, bj, bi, raw = ak.poa_dp_batch(
+        jnp.asarray(np.stack([g.pos for g in g_list])),
+        jnp.asarray(
+            np.stack([g.mask.astype(np.int32) for g in g_list])
+        ),
+        jnp.asarray(np.stack([g.weight for g in g_list])),
+        jnp.asarray(np.stack([g.preds for g in g_list])),
+        jnp.asarray(np.stack([g.is_start for g in g_list])),
+        jnp.asarray(np.stack([g.is_end for g in g_list])),
+        jnp.asarray(qm),
+        jnp.asarray(ql),
+        jnp.asarray(nr),
+        jnp.asarray(cw_pad),
+        params,
+    )
+    emit = np.asarray(emit)
+    bj = np.asarray(bj)
+    bi = np.asarray(bi)
+    raw = np.asarray(raw)
+    for b, it in enumerate(items):
+        idx, q, graph, cw, refs, log = it
+        pairs, head = ak.emit_to_pairs(emit[b])
+        results[idx] = finish_alignment(
+            queries[idx], q, graph.pos, graph.weight, graph.width,
+            pairs, head, int(bj[b]), int(bi[b]), float(raw[b]),
+            cfg, cw, refs, astats_names[idx], list(log),
+        )
+
+
+def _run_profile_bucket(
+    items, cpad, mpad, params, cfg, queries, astats_names, results
+):
+    import jax.numpy as jnp
+
+    from .ops.profile import profile_dp_batch, query_profile_weights
+
+    B = len(items)
+    freqs = np.zeros((B, cpad, 4), dtype=np.float32)
+    gapcost = np.zeros((B, cpad), dtype=np.float32)
+    qprof = np.zeros((B, mpad, 4), dtype=np.float32)
+    ql = np.zeros(B, dtype=np.int32)
+    cr = np.zeros(B, dtype=np.int32)
+    for b, it in enumerate(items):
+        _, q, prof, _, _, _ = it
+        C = prof.n_cols
+        freqs[b, :C] = prof.freqs
+        gapcost[b, :C] = (
+            params.gap_open * prof.gap_open
+            + params.gap_ext * prof.gap_ext
+        )
+        qp = query_profile_weights(q.masks)
+        qprof[b, : len(qp)] = qp
+        ql[b] = len(q.masks)
+        cr[b] = C
+    emit, bc, bi, raw = profile_dp_batch(
+        jnp.asarray(freqs),
+        jnp.asarray(gapcost),
+        jnp.asarray(qprof),
+        jnp.asarray(ql),
+        jnp.asarray(cr),
+        params,
+    )
+    emit = np.asarray(emit)
+    bc = np.asarray(bc)
+    bi = np.asarray(bi)
+    raw = np.asarray(raw)
+    for b, it in enumerate(items):
+        idx, q, prof, cw, refs, log = it
+        pairs, head = ak.emit_to_pairs(emit[b])
+        ones = np.ones(prof.n_cols, dtype=np.float32)
+        results[idx] = finish_alignment(
+            queries[idx], q, prof.cols, ones, prof.width,
+            pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
+            cfg, cw, refs, astats_names[idx], list(log),
+        )
 
 
 def align_sequence(
@@ -281,9 +367,22 @@ def align_sequence(
     col_weights: np.ndarray | None = None,
     astats_name: str = "",
 ) -> Sequence | None:
-    """Align one query against its reference family.  Returns the
-    aligned Sequence or None on failure.  Single-sequence convenience
-    path; the pipeline uses the batched variant."""
+    """Align one query against its reference family (single-sequence
+    convenience wrapper over align_batch)."""
+    cfg = cfg or AlignerConfig()
+    fams = [list(family)]
+    return align_batch(
+        [query], fams, cfg, [col_weights], [astats_name]
+    )[0]
+
+
+def align_sequence_host_traceback(
+    query: Sequence,
+    family: list[tuple[float, Sequence]],
+    cfg: AlignerConfig | None = None,
+) -> Sequence | None:
+    """Graph-mode alignment using the host (python) traceback — the
+    oracle path used by tests to cross-check the on-device walker."""
     cfg = cfg or AlignerConfig()
     log: list[str] = []
 
@@ -292,19 +391,11 @@ def align_sequence(
         copied.set_attr("align_log_slv", " ".join(log))
         return copied
     if not family:
-        logger.info("%s: all references contained query", query.name)
         return None
 
     refs = [it[1] for it in family]
     graph = build_graph(refs, cfg.fs_weight)
-    width = graph.width
-
-    if col_weights is None:
-        cw = np.ones(width + 2, dtype=np.float32)
-    else:
-        cw = np.ones(width + 2, dtype=np.float32)
-        cw[: len(col_weights)] = col_weights
-
+    cw = np.ones(graph.width + 2, dtype=np.float32)
     q = query.copy()
     if cfg.lowercase != LOWERCASE_ORIGINAL:
         q.upper_case_all()
@@ -332,26 +423,18 @@ def align_sequence(
         graph.pos, graph.preds, graph.is_start,
     )
     return finish_alignment(
-        query,
-        q,
-        graph,
-        pairs,
-        head,
-        int(bj),
-        int(bi),
-        float(raw),
-        cfg,
-        cw,
-        [it[1] for it in family],
-        astats_name,
-        log,
+        query, q, graph.pos, graph.weight, graph.width,
+        pairs, head, int(bj), int(bi), float(raw),
+        cfg, cw, refs, astats_name="", log=log,
     )
 
 
 def finish_alignment(
     query: Sequence,
     q_upper: Sequence,
-    graph: LinearGraph,
+    pos_arr: np.ndarray,
+    w_arr: np.ndarray,
+    width: int,
     pairs: list[tuple[int, int]],
     head: int,
     best_j: int,
@@ -366,8 +449,9 @@ def finish_alignment(
     """Host post-processing: overhang, NAST shift, attrs
     (mesh.h:534-739 + align.cpp:475-521 semantics).  `pairs` is the
     traceback emission [(node, slave_i)] left-to-right; `head` the
-    first consumed slave index."""
-    width = graph.width
+    first consumed slave index; `pos_arr`/`w_arr` map node ids to
+    alignment columns and match weights (graph nodes or profile
+    columns)."""
     m = len(q_upper.masks)
 
     lowercase_unaligned = cfg.lowercase == LOWERCASE_UNALIGNED
@@ -380,7 +464,7 @@ def finish_alignment(
 
     # left overhang (mesh.h:690-721)
     if head > 0 and cfg.overhang != OVERHANG_REMOVE:
-        pfirst = int(graph.pos[pairs[0][0]])
+        pfirst = int(pos_arr[pairs[0][0]])
         for k in range(head):
             if cfg.overhang == OVERHANG_ATTACH:
                 col = max(0, pfirst - (head - k))
@@ -396,17 +480,17 @@ def finish_alignment(
     sum_weight = 0.0
     neg_match = -cfg.match_score
     for node, i in pairs:
-        positions.append(int(graph.pos[node]))
+        positions.append(int(pos_arr[node]))
         masks.append(int(qmasks[i]))
         sum_weight += (
             neg_match
-            * float(col_weights[graph.pos[node]])
-            * float(graph.weight[node])
+            * float(col_weights[pos_arr[node]])
+            * float(w_arr[node])
         )
 
     # right overhang (mesh.h:594-615)
     if cutoff_tail > 0 and cfg.overhang != OVERHANG_REMOVE:
-        mp = int(graph.pos[best_j])
+        mp = int(pos_arr[best_j])
         for t in range(cutoff_tail):
             i = best_i + 1 + t
             if cfg.overhang == OVERHANG_ATTACH:

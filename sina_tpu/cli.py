@@ -103,7 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["none", "original", "unaligned"])
     g.add_argument("--insertion", default="shift",
                    choices=["shift", "forbid", "remove"])
-    g.add_argument("--fs-no-graph", action="store_true")
+    g.add_argument("--fs-no-graph", action="store_true",
+                   help="use profile vector instead of DAG as template"
+                   " (the default here; see --fs-graph)")
+    g.add_argument("--fs-graph", action="store_true",
+                   help="force the reference-faithful DAG aligner "
+                   "(slower on TPU; the profile engine is default)")
     g.add_argument("--fs-weight", type=float, default=1.0)
     g.add_argument("--match-score", type=float, default=2.0)
     g.add_argument("--mismatch-score", type=float, default=-1.0)
@@ -248,6 +253,7 @@ def config_from_args(args) -> PipelineConfig:
         calc_idty=args.calc_idty,
         write_used_rels=args.write_used_rels,
         fs_no_graph=args.fs_no_graph,
+        engine="graph" if args.fs_graph else "auto",
     )
     srch = SearchConfig(
         min_sim=args.search_min_sim,

@@ -78,9 +78,9 @@ def poa_dp(
     m_len: int,
     params: DpParams,
 ):
-    """Returns (bp (N, M) uint16, best_j, best_i, raw_score)."""
+    """Graph-mode cost setup + DP.  Returns (bp (N, M) uint16,
+    best_j, best_i, raw_score)."""
     N, M = n_nodes, m_len
-    P = preds.shape[1]
     go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
 
     wcol = col_weights[node_pos]                      # (N,)
@@ -89,6 +89,32 @@ def poa_dp(
     sub = jnp.where(
         compat, jnp.float32(params.match), jnp.float32(params.mismatch)
     ) * (wcol * node_weight)[:, None]                 # (N, M)
+    return poa_dp_costs(
+        sub, go * wcol, ge * wcol, go * wins, ge * wins,
+        preds, is_start, is_end, qlen, n_real,
+        n_nodes=N, m_len=M,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "m_len"))
+def poa_dp_costs(
+    sub,           # (N, M) f32 substitution cost per (node, base)
+    del_open,      # (N,) f32 deletion-open cost at node
+    del_ext,       # (N,) f32 deletion-extend cost at node
+    ins_open,      # (N,) f32 insertion-open cost at node
+    ins_ext,       # (N,) f32 insertion-extend cost at node
+    preds,         # (N, P) int32, -1 = none
+    is_start,      # (N,) bool
+    is_end,        # (N,) bool
+    qlen,          # () int32  actual query length
+    n_real,        # () int32  actual node count
+    n_nodes: int,
+    m_len: int,
+):
+    """Cost-parameterised DP core shared by graph (mseq) and profile
+    (pseq) modes.  Returns (bp (N, M) uint16, best_j, best_i, raw)."""
+    N, M = n_nodes, m_len
+    P = preds.shape[1]
 
     iidx = jnp.arange(M, dtype=jnp.float32)
     pred_row = preds + 1          # 0 = virtual BIG row
@@ -108,8 +134,8 @@ def poa_dp(
         edge = is_start[j] | (jnp.arange(M) == 0)
         base = jnp.where(edge, jnp.float32(1.0), BIG)  # (M,)
 
-        wd_o = go * wcol[j]
-        wd_e = ge * wcol[j]
+        wd_o = del_open[j]
+        wd_e = del_ext[j]
         d_open_cand = Vp + wd_o                   # (P, M)
         d_ext_cand = Dp + wd_e
         dcand = jnp.minimum(d_open_cand, d_ext_cand)
@@ -140,8 +166,8 @@ def poa_dp(
 
         # insertion track, closed form:
         # I[i] = i*ge' + min(base[0], min_{k<i}(U[k] + go' - (k+1)*ge'))
-        go_i = go * wins[j]
-        ge_i = ge * wins[j]
+        go_i = ins_open[j]
+        ge_i = ins_ext[j]
         cand = U + go_i - (iidx + 1.0) * ge_i
         run = jax.lax.cummin(cand)
         seed = jnp.float32(1.0)  # I[j,0] edge value
@@ -152,7 +178,7 @@ def poa_dp(
         # opened at i (vs extended): U[i-1]+go <= I[i-1]+ge
         Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
         Uprev = jnp.concatenate([jnp.array([BIG]), U[:-1]])
-        ins_open = (Uprev + go_i) <= (Iprev + ge_i)
+        ins_opened = (Uprev + go_i) <= (Iprev + ge_i)
 
         take_i = Irow <= U                         # ties -> insertion
         Vrow = jnp.where(take_i, Irow, U)
@@ -163,7 +189,7 @@ def poa_dp(
             | (mslot.astype(jnp.uint16) << 2)
             | (dslot.astype(jnp.uint16) << 5)
             | (dsel_open.astype(jnp.uint16) << 8)
-            | (ins_open.astype(jnp.uint16) << 9)
+            | (ins_opened.astype(jnp.uint16) << 9)
         )
 
         V = jax.lax.dynamic_update_slice(V, Vrow[None], (j + 1, 0))

@@ -1,0 +1,280 @@
+"""Column-profile reference ("pseq") — the TPU-native default aligner.
+
+Port of the semantics of pseq (/root/reference/src/pseq.{h,cpp}): the
+family collapses to one profile entry per *occupied* alignment column
+holding base frequencies and gap-open/extend fractions; alignment is a
+plain affine chain DP against the profile (scoring_scheme_profile,
+scoring_schemes.h:37-100).  The reference offers this as
+``--fs-no-graph``; here it is the default engine because a chain DP
+with column-local state is what the TPU wants: no gathers, VMEM-
+resident carry, per-query profiles batch cleanly, and the match-cost
+tensor is one MXU matmul:
+
+  sub[b, c, i] = (m - mm)·dot(p[c], q[i]) + mm·occ[c]
+               + gp·gapO[c] + gpe·gapE[c]
+
+The DP itself reuses the cost-parameterised core (align_kernel.
+poa_dp_costs) with chain predecessors, so traceback and NAST
+post-processing are shared with graph mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import alphabet
+from ..sequence import Sequence
+from .align_kernel import DpParams
+
+# base order A G C U matching alphabet.BASE_*
+_BASE_BITS = np.array(
+    [alphabet.M_A, alphabet.M_G, alphabet.M_C, alphabet.M_TU],
+    dtype=np.uint8,
+)
+
+
+@dataclass
+class Profile:
+    cols: np.ndarray     # (C,) int32 occupied alignment columns
+    freqs: np.ndarray    # (C, 4) f32 base fractions (sum<=1)
+    gap_open: np.ndarray  # (C,) f32 gap-open fraction
+    gap_ext: np.ndarray   # (C,) f32 gap-extend fraction
+    width: int
+
+    @property
+    def n_cols(self) -> int:
+        return len(self.cols)
+
+
+def build_profile(family: list[Sequence]) -> Profile:
+    """Column sweep over the family (pseq.cpp:44-115): at each occupied
+    column, distribute 12/ambig points over each present base's
+    letters; absent sequences contribute gap-open (first occupied
+    column after their base) or gap-extend points (12 each)."""
+    width = family[0].width
+    n = len(family)
+    # per-column per-base points
+    pts = np.zeros((width, 4), dtype=np.float64)
+    occupied = np.zeros(width, dtype=bool)
+    for s in family:
+        if s.width != width:
+            raise ValueError("family sequences differ in width")
+        m = s.masks & 0xF
+        amb = alphabet.AMBIG_ORDER[m].astype(np.float64)
+        w = 12.0 / np.maximum(amb, 1)
+        for b in range(4):
+            has = (m & _BASE_BITS[b]) != 0
+            np.add.at(pts[:, b], s.positions[has], w[has])
+        occupied[s.positions] = True
+
+    cols = np.nonzero(occupied)[0].astype(np.int32)
+    C = len(cols)
+    # gap open/extend counts per occupied column, per pseq.cpp:71-100:
+    # a sequence without a base at occupied column c contributes
+    # gap-open if it had a base at the previous occupied column (or
+    # has not started... the reference's `gap` flag starts True, so
+    # leading columns count as extend)
+    gapo = np.zeros(C, dtype=np.float64)
+    gape = np.zeros(C, dtype=np.float64)
+    col_index = np.full(width, -1, dtype=np.int64)
+    col_index[cols] = np.arange(C)
+    present = np.zeros((C, 1), dtype=bool)
+    for s in family:
+        pres = np.zeros(C, dtype=bool)
+        pres[col_index[s.positions]] = True
+        ingap = np.ones(C + 1, dtype=bool)  # gap[row] starts true
+        # ingap state BEFORE column k = not pres[k-1] chained; compute
+        # shift: state at col k depends on previous column's presence
+        prev_pres = np.concatenate([[False], pres[:-1]])
+        opens = (~pres) & prev_pres
+        exts = (~pres) & ~prev_pres
+        gapo += opens
+        gape += exts
+    total = pts[cols].sum(axis=1) + 12.0 * (gapo + gape)
+    total = np.maximum(total, 1e-9)
+    freqs = (pts[cols] / total[:, None]).astype(np.float32)
+    return Profile(
+        cols,
+        freqs,
+        (12.0 * gapo / total).astype(np.float32),
+        (12.0 * gape / total).astype(np.float32),
+        width,
+    )
+
+
+def query_profile_weights(qmask: np.ndarray) -> np.ndarray:
+    """(M, 4) f32: each query base spread over its IUPAC letters
+    (base_profile(base_iupac), pseq.h:66-86)."""
+    m = qmask & 0xF
+    amb = alphabet.AMBIG_ORDER[m].astype(np.float32)
+    w = 1.0 / np.maximum(amb, 1)
+    out = np.zeros((len(qmask), 4), dtype=np.float32)
+    for b in range(4):
+        has = (m & _BASE_BITS[b]) != 0
+        out[has, b] = w[has]
+    return out
+
+
+def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
+             c_cols: int, m_len: int):
+    """Affine chain DP against a profile (scoring_scheme_profile
+    semantics): like align_kernel.poa_dp_costs but specialised for
+    predecessor == previous column, so the scan carry is just the
+    previous V/D rows — no lattice gathers, TPU-friendly.
+
+    del_open/del_ext are per-column (C,) deletion costs — scaled by
+    column occupancy so skipping a column only a few family members
+    populate is as cheap as the graph's bypass edges make it.
+    Insertion costs go/ge stay flat (scoring_schemes.h:47-64).
+
+    Returns (bp (C, M) uint16 in the shared packing with slots 0,
+    best_c, best_i, raw).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .align_kernel import BIG, CODE_DEL, CODE_MATCH, CODE_INS
+
+    C, M = c_cols, m_len
+    iidx = jnp.arange(M, dtype=jnp.float32)
+    col0_edge = jnp.arange(M) == 0
+
+    def step(carry, xs):
+        Vp, Dp, vend_row = carry
+        subrow, dgo, dge, j = xs
+        base = jnp.where((j == 0) | col0_edge, jnp.float32(1.0), BIG)
+
+        d_open = Vp + dgo
+        d_ext = Dp + dge
+        dmin = jnp.minimum(d_open, d_ext)
+        dsel_open = d_open < d_ext
+        Drow = jnp.minimum(base, dmin)
+
+        Vp_prev = jnp.concatenate([jnp.array([BIG]), Vp[:-1]])
+        Mc = Vp_prev + subrow
+
+        U = base
+        codeU = jnp.zeros(M, dtype=jnp.uint16)
+        take_d = dmin < U
+        U = jnp.where(take_d, dmin, U)
+        codeU = jnp.where(take_d, jnp.uint16(CODE_DEL), codeU)
+        take_m = Mc < U
+        U = jnp.where(take_m, Mc, U)
+        codeU = jnp.where(take_m, jnp.uint16(CODE_MATCH), codeU)
+
+        cand = U + go - (iidx + 1.0) * ge
+        run = jax.lax.cummin(cand)
+        seed = jnp.float32(1.0)
+        prefix = jnp.concatenate(
+            [jnp.array([seed]), jnp.minimum(run[:-1], seed)]
+        )
+        Irow = prefix + iidx * ge
+        Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
+        Uprev = jnp.concatenate([jnp.array([BIG]), U[:-1]])
+        ins_opened = (Uprev + go) <= (Iprev + ge)
+
+        take_i = Irow <= U
+        Vrow = jnp.where(take_i, Irow, U)
+        code = jnp.where(take_i, jnp.uint16(CODE_INS), codeU)
+
+        bp_row = (
+            code
+            | (dsel_open.astype(jnp.uint16) << 8)
+            | (ins_opened.astype(jnp.uint16) << 9)
+        )
+        vlast = Vrow[qlen - 1]
+        vend_row = jnp.where(j == c_real - 1, Vrow, vend_row)
+        return (Vrow, Drow, vend_row), (bp_row, vlast)
+
+    import jax
+
+    Vp0 = jnp.full((M,), BIG, dtype=jnp.float32)
+    (Vp, Dp, vend_row), (bp, vlast) = jax.lax.scan(
+        step,
+        (Vp0, Vp0, Vp0),
+        (sub, del_open, del_ext, jnp.arange(C)),
+    )
+    col_valid = jnp.arange(C) < c_real
+    c1 = jnp.where(col_valid, vlast, BIG)
+    j1 = jnp.argmin(c1)
+    v1 = c1[j1]
+    iok = jnp.arange(M) < qlen
+    c2 = jnp.where(iok, vend_row, BIG)
+    i2 = jnp.argmin(c2)
+    v2 = c2[i2]
+    use2 = v2 < v1
+    best_c = jnp.where(use2, c_real - 1, j1)
+    best_i = jnp.where(use2, i2, qlen - 1)
+    raw = jnp.where(use2, v2, v1)
+    return bp, best_c, best_i, raw
+
+
+@functools.lru_cache(maxsize=64)
+def _profile_batched_fn(C: int, M: int, params: DpParams):
+    import jax
+    import jax.numpy as jnp
+    from .align_kernel import traceback_device
+
+    go = jnp.float32(params.gap_open)
+    ge = jnp.float32(params.gap_ext)
+    m = jnp.float32(params.match)
+    mm = jnp.float32(params.mismatch)
+    chain_preds = (
+        jnp.arange(C, dtype=jnp.int32) - 1
+    ).reshape(C, 1)
+    is_start = jnp.arange(C) == 0
+
+    def core(freqs, gapcost, qprof, qlen, c_real):
+        from .align_kernel import BIG
+
+        dot = jnp.dot(
+            freqs, qprof.T, preferred_element_type=jnp.float32
+        )                                      # (C, M)
+        occ = freqs.sum(axis=1, keepdims=True)
+        qs = qprof.sum(axis=1)[None, :]
+        sub = (m - mm) * dot + mm * occ * qs + gapcost[:, None]
+        pad = jnp.arange(C)[:, None] >= c_real
+        sub = jnp.where(pad, BIG, sub)
+        occ1 = occ[:, 0]
+        bp, bc, bi, raw = chain_dp(
+            sub, go * occ1, ge * occ1, go, ge, qlen, c_real, C, M
+        )
+        emit = traceback_device(
+            bp, bc, bi, chain_preds, is_start, C, M
+        )
+        return emit, bc, bi, raw
+
+    return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0)))
+
+
+def profile_dp_batch(
+    freqs, gapcost, qprof, qlen, c_real, params: DpParams
+):
+    """Batched profile DP: freqs (B, C, 4), gapcost (B, C),
+    qprof (B, M, 4), qlen (B,), c_real (B,).  Returns (emit (B, M),
+    best_c, best_i, raw)."""
+    fn = _profile_batched_fn(
+        freqs.shape[1], qprof.shape[1], params
+    )
+    return fn(freqs, gapcost, qprof, qlen, c_real)
+
+
+def profile_sub_costs(profile: Profile, qprof, params: DpParams):
+    """Match-cost matrix (C, M): scoring_scheme_profile::match with
+    base_profile::comp (pseq.h:100-119)."""
+    import jax.numpy as jnp
+
+    p = jnp.asarray(profile.freqs)              # (C, 4)
+    q = jnp.asarray(qprof)                      # (M, 4)
+    m = jnp.float32(params.match)
+    mm = jnp.float32(params.mismatch)
+    dot = p @ q.T                               # (C, M) on the MXU
+    occ = p.sum(axis=1, keepdims=True)          # (C, 1)
+    qs = q.sum(axis=1)[None, :]                 # (1, M)
+    gap_part = (
+        jnp.float32(params.gap_open) * jnp.asarray(profile.gap_open)
+        + jnp.float32(params.gap_ext) * jnp.asarray(profile.gap_ext)
+    )[:, None]
+    return (m - mm) * dot + mm * occ * qs + gap_part

@@ -36,7 +36,10 @@ def run(bundle, step=25, **kw):
         fs_leave_query_out=kw.pop("fs_leave_query_out", False),
         fs_msc_max=kw.pop("fs_msc_max", 2.0),
     )
-    ali_kw = dict(realign=kw.pop("realign", False))
+    ali_kw = dict(
+        realign=kw.pop("realign", False),
+        engine=kw.pop("engine", "auto"),
+    )
     cfg = PipelineConfig(
         in_path=bundle,
         db=bundle,
@@ -68,18 +71,31 @@ def test_align_copy(bundle):
     assert r["avg_idty"] == pytest.approx(1.0, abs=1e-6)
 
 
-def test_realign(bundle):
-    r = run(bundle, realign=True)
+# per-engine accuracy floors: graph is the reference-faithful DAG,
+# profile the TPU-default column chain (slightly softer NAST fidelity)
+THRESH = {
+    "graph": dict(sps=0.99, cpm=0.005),
+    "profile": dict(sps=0.98, cpm=0.008),
+}
+
+
+@pytest.mark.parametrize("engine", ["graph", "profile"])
+def test_realign(bundle, engine):
+    r = run(bundle, realign=True, engine=engine)
+    t = THRESH[engine]
     assert r["n_aligned"] == 12
-    assert r["avg_sps"] > 0.97, r
-    assert r["avg_cpm"] < 0.005, r
+    assert r["avg_sps"] > t["sps"], r
+    assert r["avg_cpm"] < t["cpm"], r
     assert r["avg_idty"] > 0.8, r
 
 
-def test_realign_leave_query_out(bundle):
-    r = run(bundle, realign=True, fs_leave_query_out=True)
-    assert r["avg_sps"] > 0.97, r
-    assert r["avg_cpm"] < 0.005, r
+@pytest.mark.parametrize("engine", ["graph", "profile"])
+def test_realign_leave_query_out(bundle, engine):
+    r = run(bundle, realign=True, fs_leave_query_out=True,
+            engine=engine)
+    t = THRESH[engine]
+    assert r["avg_sps"] > t["sps"], r
+    assert r["avg_cpm"] < t["cpm"], r
 
 
 def test_realign_k8(bundle):

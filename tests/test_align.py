@@ -60,7 +60,7 @@ def test_dp_recovers_reference_like_alignment():
         Sequence.from_string("r2", "..AGGC-GAAUC.."),
     ]
     q = Sequence.from_string("q", "AGCUGGUC")  # A->G at r1 col 8
-    out = align_sequence(q, fam(*refs), AlignerConfig())
+    out = align_sequence(q, fam(*refs), AlignerConfig(engine="graph"))
     assert out is not None
     assert out.get_aligned(dots=False) == "--AG-CUGG-UC--"
 
@@ -68,7 +68,7 @@ def test_dp_recovers_reference_like_alignment():
 def test_align_deletion():
     refs = [Sequence.from_string("r1", "AGACGUCA")]
     q = Sequence.from_string("q", "AGACUCA")  # G at col 5 missing
-    cfg = AlignerConfig(realign=True)
+    cfg = AlignerConfig(realign=True, engine="graph")
     out = align_sequence(q, fam(*refs), cfg)
     assert out.get_aligned(dots=False) == "AGAC-UCA"
 
@@ -80,7 +80,7 @@ def test_align_insertion_shifted():
         Sequence.from_string("r2", "AGA-CGUCA"),
     ]
     q = Sequence.from_string("q", "AGAUCGUCA")  # extra U
-    cfg = AlignerConfig(realign=True)
+    cfg = AlignerConfig(realign=True, engine="graph")
     out = align_sequence(q, fam(*refs), cfg)
     assert out.get_bases() == "AGAUCGUCA"
     assert out.get_aligned(dots=False) == "AGAUCGUCA"
@@ -90,14 +90,14 @@ def test_align_overhang_attach_and_edge():
     refs = [Sequence.from_string("r1", "--AGCU--")]
     # query with 2 extra bases on each side
     q = Sequence.from_string("q", "GGAGCUCC")
-    cfg = AlignerConfig(realign=True)
+    cfg = AlignerConfig(realign=True, engine="graph")
     out = align_sequence(q, fam(*refs), cfg)
     assert out.get_bases() == "GGAGCUCC"
     assert out.get_aligned(dots=False) == "GGAGCUCC"
     assert out.get_attr("align_cutoff_head_slv") == 2
     assert out.get_attr("align_cutoff_tail_slv") == 2
 
-    cfg2 = AlignerConfig(realign=True, overhang=OVERHANG_REMOVE)
+    cfg2 = AlignerConfig(realign=True, overhang=OVERHANG_REMOVE, engine="graph")
     out2 = align_sequence(q, fam(*refs), cfg2)
     assert out2.get_bases() == "AGCU"
 
@@ -106,7 +106,7 @@ def test_align_lowercase_unaligned():
     refs = [Sequence.from_string("r1", "--AGCU--")]
     q = Sequence.from_string("q", "GGAGCUCC")
     cfg = AlignerConfig(
-        realign=True, lowercase=LOWERCASE_UNALIGNED
+        realign=True, lowercase=LOWERCASE_UNALIGNED, engine="graph"
     )
     out = align_sequence(q, fam(*refs), cfg)
     assert out.get_bases() == "ggAGCUcc"
@@ -119,7 +119,7 @@ def test_accuracy_on_synthetic_db():
     db = testing.make_reference(n_seqs=80, n_core=400, width=700, seed=11)
     queries = testing.make_queries(db, n=8, seed=5, branch_len=0.5)
     cmp_exact = Comparator(IUPAC_EXACT, "none", COVER_QUERY, False)
-    cfg = AlignerConfig(realign=True)
+    cfg = AlignerConfig(realign=True, engine="graph")
     sps = []
     for true_q in queries:
         q = unaligned_copy(true_q)
