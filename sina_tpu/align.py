@@ -304,7 +304,9 @@ def _run_graph_bucket(
     raw = np.asarray(raw)
     for b, it in enumerate(items):
         idx, q, graph, cw, refs, log = it
-        pairs, head = ak.emit_to_pairs(emit[b])
+        eidx = np.nonzero(emit[b] >= 0)[0]
+        head = int(eidx[0]) if len(eidx) else 0
+        pairs = (emit[b][eidx], eidx)
         results[idx] = finish_alignment(
             queries[idx], q, graph.pos, graph.weight, graph.width,
             pairs, head, int(bj[b]), int(bi[b]), float(raw[b]),
@@ -351,7 +353,9 @@ def _run_profile_bucket(
     raw = np.asarray(raw)
     for b, it in enumerate(items):
         idx, q, prof, cw, refs, log = it
-        pairs, head = ak.emit_to_pairs(emit[b])
+        eidx = np.nonzero(emit[b] >= 0)[0]
+        head = int(eidx[0]) if len(eidx) else 0
+        pairs = (emit[b][eidx], eidx)
         ones = np.ones(prof.n_cols, dtype=np.float32)
         results[idx] = finish_alignment(
             queries[idx], q, prof.cols, ones, prof.width,
@@ -455,57 +459,65 @@ def finish_alignment(
     m = len(q_upper.masks)
 
     lowercase_unaligned = cfg.lowercase == LOWERCASE_UNALIGNED
-    positions: list[int] = []
-    masks: list[int] = []
     qmasks = q_upper.masks
 
     cutoff_head = head
     cutoff_tail = m - 1 - best_i
 
+    if isinstance(pairs, tuple):
+        body_nodes, body_idx = pairs
+        body_nodes = body_nodes.astype(np.int64)
+        body_idx = body_idx.astype(np.int64)
+    else:
+        body_nodes = np.asarray([n for n, _ in pairs], dtype=np.int64)
+        body_idx = np.asarray([i for _, i in pairs], dtype=np.int64)
+    seg_pos = []
+    seg_mask = []
+
     # left overhang (mesh.h:690-721)
     if head > 0 and cfg.overhang != OVERHANG_REMOVE:
-        pfirst = int(pos_arr[pairs[0][0]])
-        for k in range(head):
-            if cfg.overhang == OVERHANG_ATTACH:
-                col = max(0, pfirst - (head - k))
-            else:  # edge
-                col = k
-            mask = int(qmasks[k])
-            if lowercase_unaligned:
-                mask |= alphabet.M_LC
-            positions.append(col)
-            masks.append(mask)
+        pfirst = int(pos_arr[body_nodes[0]])
+        ks = np.arange(head, dtype=np.int64)
+        if cfg.overhang == OVERHANG_ATTACH:
+            cols = np.maximum(0, pfirst - (head - ks))
+        else:  # edge
+            cols = ks
+        mk = qmasks[:head].astype(np.uint8)
+        if lowercase_unaligned:
+            mk = mk | alphabet.M_LC
+        seg_pos.append(cols)
+        seg_mask.append(mk)
 
     # aligned body
-    sum_weight = 0.0
+    body_cols = pos_arr[body_nodes].astype(np.int64)
+    seg_pos.append(body_cols)
+    seg_mask.append(qmasks[body_idx].astype(np.uint8))
     neg_match = -cfg.match_score
-    for node, i in pairs:
-        positions.append(int(pos_arr[node]))
-        masks.append(int(qmasks[i]))
-        sum_weight += (
+    sum_weight = float(
+        (
             neg_match
-            * float(col_weights[pos_arr[node]])
-            * float(w_arr[node])
-        )
+            * np.asarray(col_weights)[body_cols]
+            * np.asarray(w_arr)[body_nodes]
+        ).sum()
+    )
 
     # right overhang (mesh.h:594-615)
     if cutoff_tail > 0 and cfg.overhang != OVERHANG_REMOVE:
         mp = int(pos_arr[best_j])
-        for t in range(cutoff_tail):
-            i = best_i + 1 + t
-            if cfg.overhang == OVERHANG_ATTACH:
-                col = min(width - 1, mp + 1 + t)
-            else:  # edge
-                col = width - cutoff_tail + t
-            mask = int(qmasks[i])
-            if lowercase_unaligned:
-                mask |= alphabet.M_LC
-            positions.append(col)
-            masks.append(mask)
+        ts = np.arange(cutoff_tail, dtype=np.int64)
+        if cfg.overhang == OVERHANG_ATTACH:
+            cols = np.minimum(width - 1, mp + 1 + ts)
+        else:  # edge
+            cols = width - cutoff_tail + ts
+        mk = qmasks[best_i + 1 :].astype(np.uint8)
+        if lowercase_unaligned:
+            mk = mk | alphabet.M_LC
+        seg_pos.append(cols)
+        seg_mask.append(mk)
 
     out = query.copy()
-    out.positions = np.asarray(positions, dtype=np.uint32)
-    out.masks = np.asarray(masks, dtype=np.uint8)
+    out.positions = np.concatenate(seg_pos).astype(np.uint32)
+    out.masks = np.concatenate(seg_mask).astype(np.uint8)
     out.width = width
     # enforce nondecreasing (overhang clamping can locally violate)
     out.positions = np.maximum.accumulate(out.positions)

@@ -142,6 +142,8 @@ class Sequence:
         stats = {"total_inserts": 0, "longest_insert": 0}
         if n == 0:
             return stats
+        if n > 1 and (np.diff(pos) > 0).all():
+            return stats  # strictly increasing: nothing to fix
         lower = np.zeros(n, dtype=bool)
 
         last = 0  # index of last properly placed base
