@@ -75,7 +75,7 @@ def main() -> int:
     acfg = AlignerConfig()
 
     def run(batch):
-        results = [finder(q) for q in batch]
+        results = finder.process_batch(batch)
         aligned = align_batch(
             batch,
             [r.family if not r.failed else [] for r in results],

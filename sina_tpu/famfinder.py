@@ -287,10 +287,79 @@ class FamFinder:
 
     # -- full stage ---------------------------------------------------
 
-    def __call__(self, query: Sequence) -> FamilyResult:
+    def process_batch(
+        self, queries: list[Sequence]
+    ) -> list[FamilyResult]:
+        """Batched famfinder: one device call scores every query (and
+        every turn-check orientation); the per-query policy runs on
+        the host over the returned score rows."""
         cfg = self.cfg
+        B = len(queries)
+        if B == 0:
+            return []
+        if cfg.turn == TURN_NONE:
+            for q in queries:
+                q.set_attr("turn_slv", "turn-check disabled")
+            variants_per = 1
+            mask_list = [q.masks for q in queries]
+        else:
+            all4 = cfg.turn == TURN_ALL
+            variants_per = 4 if all4 else 2
+            mask_list = []
+            for q in queries:
+                mask_list.append(q.masks)
+                if all4:
+                    mask_list.append(q.copy().reverse().masks)
+                    mask_list.append(q.copy().complement().masks)
+                mask_list.append(
+                    q.copy().reverse().complement().masks
+                )
+        scores = self.score_batch(mask_list)
+
+        out = []
+        for b, q in enumerate(queries):
+            row = scores[b * variants_per]
+            if cfg.turn != TURN_NONE:
+                rows = scores[
+                    b * variants_per : (b + 1) * variants_per
+                ]
+                tops = rows.max(axis=1)
+                order = (
+                    [0, 1, 2, 3]
+                    if variants_per == 4
+                    else [0, 3]
+                )
+                best, best_score = 0, 0.0
+                for k, oi in enumerate(order):
+                    if tops[k] > best_score:
+                        best_score = float(tops[k])
+                        best = oi
+                names = [
+                    "none", "reversed", "complemented",
+                    "reversed and complemented",
+                ]
+                q.set_attr("turn_slv", names[best])
+                if best in (1, 3):
+                    q.reverse()
+                if best in (2, 3):
+                    q.complement()
+                if best != 0:
+                    # orientation changed: rescore this query alone
+                    row = self.score_batch([q.masks])[0]
+            out.append(self._finish(q, row))
+        return out
+
+    def __call__(self, query: Sequence) -> FamilyResult:
         self.apply_turn(query)
-        family = self.match(query)
+        return self._finish(query, None)
+
+    def _finish(
+        self, query: Sequence, scores: np.ndarray | None
+    ) -> FamilyResult:
+        """Post-turn-check famfinder stage body
+        (famfinder.cpp:439-494)."""
+        cfg = self.cfg
+        family = self.match(query, scores)
 
         # family string attr (famfinder.cpp:458-470)
         fam_str = " ".join(

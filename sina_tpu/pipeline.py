@@ -151,9 +151,9 @@ class Pipeline:
                 a.set_attr("align_quality_slv", 100)
             families = [[] for _ in batch]
         else:
-            results: list[FamilyResult] = [
-                self.finder(q) for q in batch
-            ]
+            results: list[FamilyResult] = self.finder.process_batch(
+                batch
+            )
             # align_batch updates this list in place when the aligner
             # filters the family (realign / containment)
             families = [
