@@ -96,6 +96,11 @@ def main() -> int:
     elapsed = time.time() - t0
     n_timed = len(queries) - args.batch_size
 
+    from sina_tpu.timing import _registry
+
+    for name, t in _registry.items():
+        print(f"# timings {name}: {t}", file=sys.stderr)
+
     rate = n_timed / elapsed if elapsed > 0 else 0.0
     print(
         f"# gen={t_gen:.1f}s index={t_index:.1f}s warmup={t_warm:.1f}s "

@@ -21,6 +21,7 @@ from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_OVERLAP
 from .ops import align_kernel as ak
 from .ops.graph import LinearGraph, build_graph
 from .sequence import Sequence
+from .timing import get_timer
 
 logger = logging.getLogger("sina.align")
 
@@ -219,8 +220,10 @@ def align_batch(
         if not family:
             continue
         refs = [it[1] for it in family]
+        _t = get_timer("Aligner")
         if engine == "graph":
-            template = build_graph(refs, cfg.fs_weight)
+            with _t.section("build graph"):
+                template = build_graph(refs, cfg.fs_weight)
             cw = np.ones(template.width + 2, dtype=np.float32)
             if col_weights_list[idx] is not None:
                 w = col_weights_list[idx]
@@ -228,7 +231,8 @@ def align_batch(
         else:
             from .ops.profile import build_profile
 
-            template = build_profile(refs)
+            with _t.section("build profile"):
+                template = build_profile(refs)
             # scoring_scheme_profile is unweighted (align.cpp:429-432)
             cw = np.ones(template.width + 2, dtype=np.float32)
         q = query.copy()
@@ -321,6 +325,7 @@ def _run_profile_bucket(
 
     from .ops.profile import profile_dp_batch, query_profile_weights
 
+    t = get_timer("Aligner")
     B = len(items)
     freqs = np.zeros((B, cpad, 4), dtype=np.float32)
     gapcost = np.zeros((B, cpad), dtype=np.float32)
@@ -339,15 +344,16 @@ def _run_profile_bucket(
         qprof[b, : len(qp)] = qp
         ql[b] = len(q.masks)
         cr[b] = C
-    emit, bc, bi, raw = profile_dp_batch(
-        jnp.asarray(freqs),
-        jnp.asarray(gapcost),
-        jnp.asarray(qprof),
-        jnp.asarray(ql),
-        jnp.asarray(cr),
-        params,
-    )
-    emit = np.asarray(emit)
+    with t.section("profile dp"):
+        emit, bc, bi, raw = profile_dp_batch(
+            jnp.asarray(freqs),
+            jnp.asarray(gapcost),
+            jnp.asarray(qprof),
+            jnp.asarray(ql),
+            jnp.asarray(cr),
+            params,
+        )
+        emit = np.asarray(emit)
     bc = np.asarray(bc)
     bi = np.asarray(bi)
     raw = np.asarray(raw)

@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_QUERY
+from .timing import get_timer
 from .ops.kmer import query_kmers_padded
 from .ops.kmer_index import KmerIndex
 from .ops.kmer_kernel import kmer_scores, top_k_scores
@@ -79,10 +80,13 @@ class FamFinder:
 
     def score_batch(self, mask_list: list[np.ndarray]) -> np.ndarray:
         """Raw k-mer hit counts (B, n_seqs) for a batch of queries."""
-        kmers, _ = query_kmers_padded(
-            mask_list, self.index.k, fast=self.index.fast
-        )
-        return np.asarray(kmer_scores(self._matrix(), kmers))
+        t = get_timer("Kmer Search")
+        with t.section("extract kmers"):
+            kmers, _ = query_kmers_padded(
+                mask_list, self.index.k, fast=self.index.fast
+            )
+        with t.section("score+fetch"):
+            return np.asarray(kmer_scores(self._matrix(), kmers))
 
     def find(
         self, query: Sequence, max_results: int

@@ -59,6 +59,7 @@ def read_fasta(
     path,
     block_size: int = 0,
     block_idx: int = 0,
+    use_native: bool = True,
 ) -> Iterator[Sequence]:
     """Yield Sequence records from a FASTA(.gz) file.
 
@@ -66,7 +67,28 @@ def read_fasta(
     range [block_size*block_idx, block_size*(block_idx+1)) are yielded
     (semantics of rw_fasta.cpp:209-217,237-242: seek to block start,
     skip to next '>', stop after passing the block end).
+
+    Plain uncompressed files without attribute comments go through the
+    native C++ parser when available (sina_tpu/native).
     """
+    if (
+        use_native
+        and block_size == 0
+        and str(path) != "-"
+        and Path(path).suffix != ".gz"
+        and Path(path).is_file()
+    ):
+        from .. import native
+
+        recs = native.parse_fasta_buffer(Path(path).read_bytes())
+        if recs is not None:
+            for name, full_name, positions, masks, width in recs:
+                seq = Sequence(
+                    name, positions, masks, width,
+                    {FN_FULLNAME: full_name} if full_name else {},
+                )
+                yield seq
+            return
     fh, close = _open_binary_reader(path)
     try:
         offset = 0

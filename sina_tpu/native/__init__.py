@@ -1,0 +1,134 @@
+"""Native (C++) host data path, loaded via ctypes.
+
+Builds lazily with g++ on first use and caches the shared object next
+to the source; falls back silently to the pure-python implementations
+when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("sina.native")
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "sinaio.cpp"
+_SO = _HERE / "libsinaio.so"
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                str(_SRC), "-o", str(_SO),
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # no compiler / failed build -> fallback
+        logger.info("native build unavailable: %s", e)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SO.exists() or (
+        _SRC.exists()
+        and _SO.stat().st_mtime < _SRC.stat().st_mtime
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        logger.info("native load failed: %s", e)
+        return None
+    lib.sina_parse_fasta.restype = ctypes.c_long
+    lib.sina_parse_fasta.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.uint32),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_long,
+    ]
+    lib.sina_fasta_has_comments.restype = ctypes.c_long
+    lib.sina_fasta_has_comments.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+    ]
+    _lib = lib
+    return _lib
+
+
+def parse_fasta_buffer(data: bytes):
+    """Parse a FASTA byte buffer natively.
+
+    Returns list of (name, full_name, positions, masks, width) or
+    None when the native path is unavailable/unsuitable (comment
+    lines present)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return []
+    if lib.sina_fasta_has_comments(data, n):
+        return None  # attribute comments: python reader handles them
+    max_recs = max(16, data.count(b">") + 1)
+    masks = np.empty(n, dtype=np.uint8)
+    positions = np.empty(n, dtype=np.uint32)
+    base_offsets = np.empty(max_recs + 1, dtype=np.int64)
+    widths = np.empty(max_recs, dtype=np.int64)
+    header_offsets = np.empty(2 * max_recs, dtype=np.int64)
+    flags = np.empty(max_recs, dtype=np.uint8)
+    nrec = lib.sina_parse_fasta(
+        data, n, masks, positions, n,
+        base_offsets, widths, header_offsets, flags, max_recs,
+    )
+    if nrec < 0:
+        return None
+    out = []
+    for r in range(nrec):
+        if flags[r]:
+            hdr = data[
+                header_offsets[2 * r] : header_offsets[2 * r + 1]
+            ].decode("utf-8", "replace")
+            logger.error(
+                "Skipping sequence >%s (contains invalid character)",
+                hdr.split(None, 1)[0] if hdr else "",
+            )
+            continue
+        hdr = data[
+            header_offsets[2 * r] : header_offsets[2 * r + 1]
+        ].decode("utf-8", "replace")
+        parts = hdr.split(None, 1)
+        name = parts[0] if parts else ""
+        full_name = parts[1] if len(parts) > 1 else None
+        lo, hi = int(base_offsets[r]), int(base_offsets[r + 1])
+        out.append(
+            (
+                name,
+                full_name,
+                positions[lo:hi].copy(),
+                masks[lo:hi].copy(),
+                int(widths[r]),
+            )
+        )
+    return out

@@ -1,0 +1,68 @@
+"""Native C++ data-path tests: parity with the python reader."""
+
+import numpy as np
+import pytest
+
+from sina_tpu import native
+from sina_tpu.io import fasta as fio
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("no native toolchain available")
+    return lib
+
+
+def test_native_parse_matches_python(lib, tmp_path):
+    text = (
+        ">s1 first\nAC-GU\nacgu\n"
+        ">s2\nNNRY--KM\n"
+        ">bad\nAC!GU\n"
+        ">s3\n\nACGU\n"
+    )
+    p = tmp_path / "t.fasta"
+    p.write_text(text)
+    nat = list(fio.read_fasta(p, use_native=True))
+    py = list(fio.read_fasta(p, use_native=False))
+    assert [s.name for s in nat] == [s.name for s in py]
+    for a, b in zip(nat, py):
+        assert a.width == b.width
+        assert np.array_equal(a.positions, b.positions)
+        assert np.array_equal(a.masks, b.masks)
+        assert a.get_attr("full_name") == b.get_attr("full_name")
+
+
+def test_native_comment_fallback(lib, tmp_path):
+    # comment attributes force the python reader
+    p = tmp_path / "t.fasta"
+    p.write_text(">s1\n; k = v\nACGU\n")
+    recs = native.parse_fasta_buffer(p.read_bytes())
+    assert recs is None
+    seqs = list(fio.read_fasta(p))
+    assert seqs[0].get_attr("k") == "v"
+
+
+def test_native_crlf(lib, tmp_path):
+    p = tmp_path / "t.fasta"
+    p.write_bytes(b">s1 desc\r\nAC\r\nGU\r\n")
+    (s,) = list(fio.read_fasta(p))
+    assert s.name == "s1"
+    assert s.get_attr("full_name") == "desc"
+    assert s.get_bases() == "ACGU"
+
+
+def test_native_large_roundtrip(lib, tmp_path):
+    from sina_tpu import testing
+    from sina_tpu.io.fasta import FastaWriter
+
+    db = testing.make_reference(n_seqs=50, n_core=200, width=400, seed=3)
+    p = tmp_path / "db.fasta"
+    with FastaWriter(p) as w:
+        for s in db.sequences:
+            w.write(s)
+    nat = list(fio.read_fasta(p, use_native=True))
+    assert len(nat) == 50
+    for a, b in zip(nat, db.sequences):
+        assert a.get_aligned() == b.get_aligned()
