@@ -21,6 +21,10 @@ import time
 
 BASELINE_SEQ_S = 42.0  # reference: 100k full-length / 40 min
 
+from sina_tpu.jax_setup import setup_jax
+
+setup_jax()
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()

@@ -249,15 +249,95 @@ def _profile_batched_fn(C: int, M: int, params: DpParams):
     return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0)))
 
 
+@functools.lru_cache(maxsize=64)
+def _profile_pallas_fn(C: int, M: int, params: DpParams):
+    """TPU fast path: Pallas chain kernel + device end-selection and
+    traceback over the compact backpointer layout."""
+    import jax
+    import jax.numpy as jnp
+    from .profile_pallas import chain_dp_pallas, chain_traceback
+    from .align_kernel import BIG
+
+    go = float(params.gap_open)
+    ge = float(params.gap_ext)
+    m = jnp.float32(params.match)
+    mm = jnp.float32(params.mismatch)
+
+    def fn(freqs, gapcost, qprof, qlen, c_real):
+        dot = jnp.einsum(
+            "bcf,bmf->bcm", freqs, qprof,
+            preferred_element_type=jnp.float32,
+        )
+        occ = freqs.sum(axis=2)                      # (B, C)
+        qs = qprof.sum(axis=2)                       # (B, M)
+        sub = (
+            (m - mm) * dot
+            + mm * occ[:, :, None] * qs[:, None, :]
+            + gapcost[:, :, None]
+        )
+        pad = jnp.arange(C)[None, :, None] >= c_real[:, None, None]
+        sub = jnp.where(pad, BIG, sub)
+        interp = jax.default_backend() not in ("tpu", "axon")
+        V, bp = chain_dp_pallas(
+            sub, go * occ, ge * occ, go, ge, C, M,
+            interpret=interp,
+        )
+
+        def sel(Vb, ql, cr):
+            col_valid = jnp.arange(C) < cr
+            c1 = jnp.where(
+                col_valid,
+                jnp.take_along_axis(
+                    Vb, jnp.full((C, 1), ql - 1), axis=1
+                )[:, 0],
+                BIG,
+            )
+            j1 = jnp.argmin(c1)
+            v1 = c1[j1]
+            iok = jnp.arange(M) < ql
+            vend = Vb[cr - 1]
+            c2 = jnp.where(iok, vend, BIG)
+            i2 = jnp.argmin(c2)
+            v2 = c2[i2]
+            use2 = v2 < v1
+            return (
+                jnp.where(use2, cr - 1, j1),
+                jnp.where(use2, i2, ql - 1),
+                jnp.where(use2, v2, v1),
+            )
+
+        bc, bi, raw = jax.vmap(sel, in_axes=(1, 0, 0))(
+            V, qlen, c_real
+        )
+        emit = jax.vmap(
+            lambda b, c, i: chain_traceback(b, c, i, M),
+            in_axes=(1, 0, 0),
+        )(bp, bc, bi)
+        return emit, bc, bi, raw
+
+    return jax.jit(fn)
+
+
 def profile_dp_batch(
     freqs, gapcost, qprof, qlen, c_real, params: DpParams
 ):
     """Batched profile DP: freqs (B, C, 4), gapcost (B, C),
     qprof (B, M, 4), qlen (B,), c_real (B,).  Returns (emit (B, M),
     best_c, best_i, raw)."""
-    fn = _profile_batched_fn(
-        freqs.shape[1], qprof.shape[1], params
-    )
+    import jax
+
+    C, M = freqs.shape[1], qprof.shape[1]
+    if jax.default_backend() in ("tpu", "axon"):
+        try:
+            fn = _profile_pallas_fn(C, M, params)
+            return fn(freqs, gapcost, qprof, qlen, c_real)
+        except Exception as e:  # pragma: no cover - fallback safety
+            import logging
+
+            logging.getLogger("sina.align").warning(
+                "pallas profile kernel failed (%s); XLA fallback", e
+            )
+    fn = _profile_batched_fn(C, M, params)
     return fn(freqs, gapcost, qprof, qlen, c_real)
 
 

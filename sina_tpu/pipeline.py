@@ -29,6 +29,10 @@ from .sequence import Sequence
 
 logger = logging.getLogger("sina.pipeline")
 
+from .jax_setup import setup_jax
+
+setup_jax()
+
 
 @dataclass
 class PipelineConfig:

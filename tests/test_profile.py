@@ -1,0 +1,92 @@
+"""Profile engine tests: pseq construction + chain DP + Pallas parity."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sina_tpu.align import AlignerConfig, align_sequence
+from sina_tpu.ops.align_kernel import DpParams
+from sina_tpu.ops.profile import (
+    build_profile,
+    profile_dp_batch,
+    query_profile_weights,
+    _profile_batched_fn,
+    _profile_pallas_fn,
+)
+from sina_tpu.sequence import Sequence
+from sina_tpu import testing
+
+
+def fam(*seqs):
+    return [(1.0, s) for s in seqs]
+
+
+def test_build_profile_semantics():
+    a = Sequence.from_string("a", "AG-CU")
+    b = Sequence.from_string("b", "AGGC-")
+    p = build_profile([a, b])
+    # occupied columns 0,1,2,3,4
+    assert p.cols.tolist() == [0, 1, 2, 3, 4]
+    # col0: both A -> freq A = 1
+    assert p.freqs[0, 0] == pytest.approx(1.0)
+    # col2: b has G, a gap (a had base at col1 -> gap open)
+    total2 = 12 + 12  # one G + one gapOpen
+    assert p.freqs[2, 1] == pytest.approx(12 / total2)
+    assert p.gap_open[2] == pytest.approx(12 / total2)
+    # col4: a has U, b gap (open: b had base at col3)
+    assert p.gap_open[4] > 0
+
+
+def test_query_profile_weights_ambig():
+    q = Sequence.from_string("q", "AR")
+    w = query_profile_weights(q.masks)
+    assert w[0].tolist() == [1, 0, 0, 0]
+    assert w[1, 0] == pytest.approx(0.5)  # R = A|G
+    assert w[1, 1] == pytest.approx(0.5)
+
+
+def test_profile_alignment_realistic():
+    db = testing.make_reference(n_seqs=60, n_core=300, width=500, seed=9)
+    queries = testing.make_queries(db, n=4, seed=2, branch_len=0.4)
+    cfg = AlignerConfig(realign=True, engine="profile")
+    from sina_tpu.comparator import Comparator, IUPAC_EXACT, COVER_QUERY
+
+    cmp_exact = Comparator(IUPAC_EXACT, "none", COVER_QUERY, False)
+    for true_q in queries:
+        q = testing.unaligned_copy(true_q)
+        pid = db.index_of(true_q.get_attr("parent"))
+        fam_seqs = [db.sequences[(pid + k) % len(db)] for k in range(12)]
+        out = align_sequence(q, fam(*fam_seqs), cfg)
+        assert out is not None
+        assert out.get_bases().upper() == true_q.get_bases().upper()
+        assert cmp_exact(true_q, out) > 0.85
+
+
+def test_pallas_path_matches_xla_path():
+    """Full Pallas path (interpret mode on CPU) vs the XLA scan path:
+    emissions and scores must agree."""
+    rng = np.random.default_rng(5)
+    B, C, M = 3, 48, 64
+    freqs = rng.random((B, C, 4)).astype(np.float32)
+    freqs /= freqs.sum(axis=2, keepdims=True) * 1.25
+    gapcost = (rng.random((B, C)) * 2).astype(np.float32)
+    qprof = np.zeros((B, M, 4), dtype=np.float32)
+    for b in range(B):
+        qprof[b, np.arange(M), rng.integers(0, 4, M)] = 1.0
+    qlen = np.array([64, 40, 50], np.int32)
+    cr = np.array([48, 30, 48], np.int32)
+    for b in range(B):
+        qprof[b, qlen[b]:] = 0
+    params = DpParams()
+
+    xla = _profile_batched_fn(C, M, params)
+    pal = _profile_pallas_fn(C, M, params)
+    args = [
+        jnp.asarray(x) for x in (freqs, gapcost, qprof, qlen, cr)
+    ]
+    e1, c1, i1, r1 = [np.asarray(v) for v in xla(*args)]
+    e2, c2, i2, r2 = [np.asarray(v) for v in pal(*args)]
+    np.testing.assert_allclose(r1, r2, rtol=1e-5)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(e1, e2)
