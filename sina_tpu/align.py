@@ -327,11 +327,13 @@ def _run_profile_bucket(
 
     t = get_timer("Aligner")
     B = len(items)
+    aspace = cfg.insertion == INSERTION_FORBID
     freqs = np.zeros((B, cpad, 4), dtype=np.float32)
     gapcost = np.zeros((B, cpad), dtype=np.float32)
     qprof = np.zeros((B, mpad, 4), dtype=np.float32)
     ql = np.zeros(B, dtype=np.int32)
     cr = np.zeros(B, dtype=np.int32)
+    budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
     for b, it in enumerate(items):
         _, q, prof, _, _, _ = it
         C = prof.n_cols
@@ -344,6 +346,12 @@ def _run_profile_bucket(
         qprof[b, : len(qp)] = qp
         ql[b] = len(q.masks)
         cr[b] = C
+        if aspace:
+            # free columns between occupied columns (mesh.h:480-484)
+            budget[b, : C - 1] = (
+                np.diff(prof.cols.astype(np.int64)) - 1
+            )
+            budget[b, C - 1] = prof.width - int(prof.cols[-1]) - 1
     with t.section("profile dp"):
         emit, bc, bi, raw = profile_dp_batch(
             jnp.asarray(freqs),
@@ -352,6 +360,7 @@ def _run_profile_bucket(
             jnp.asarray(ql),
             jnp.asarray(cr),
             params,
+            budget=jnp.asarray(budget) if aspace else None,
         )
         emit = np.asarray(emit)
     bc = np.asarray(bc)

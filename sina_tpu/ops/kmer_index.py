@@ -75,14 +75,18 @@ class KmerIndex:
 
     @classmethod
     def _build_from_db(cls, db: ReferenceDb, k: int, fast: bool):
+        from ..progress import Progress
+
         prefix = BASE_A if fast else None
         lists = []
-        for s in db.sequences:
-            lists.append(
-                kmers_of_masks(
-                    s.masks, k, prefix_base=prefix, unique=True
-                ).astype(np.int32)
-            )
+        with Progress("Building Index", total=len(db)) as p:
+            for s in db.sequences:
+                lists.append(
+                    kmers_of_masks(
+                        s.masks, k, prefix_base=prefix, unique=True
+                    ).astype(np.int32)
+                )
+                p.update()
         offsets = np.zeros(len(lists) + 1, dtype=np.int64)
         np.cumsum([len(v) for v in lists], out=offsets[1:])
         flat = (

@@ -118,8 +118,42 @@ def query_profile_weights(qmask: np.ndarray) -> np.ndarray:
     return out
 
 
+def _windowed_min(W, R, M: int):
+    """min over the trailing window [i-R+1, i] of W, per i, with a
+    traced row-constant window length R (sparse-table doubling,
+    aspace-aware insertion budget, mesh.h:403-437)."""
+    import jax.numpy as jnp
+    from .align_kernel import BIG
+
+    levels = [W]
+    n = 1
+    while n < M:
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [jnp.full((n,), BIG), prev[:-n]]
+        )
+        levels.append(jnp.minimum(prev, shifted))
+        n *= 2
+    T = jnp.stack(levels)  # (L, M) T[s][i] = min W[i-2^s+1 .. i]
+    L = T.shape[0]
+    iidx = jnp.arange(M)
+    Rc = jnp.clip(R, 1, M)
+    out = jnp.full((M,), BIG)
+    for s in range(L):
+        size = 1 << s
+        applies = (Rc >= size) & ((Rc < 2 * size) | (s == L - 1))
+        a = T[s]
+        # second interval covering [i-R+1, i-R+2^s]
+        idx2 = jnp.clip(iidx - Rc + size, 0, M - 1)
+        b = jnp.where(iidx - Rc + size >= 0, T[s][idx2], BIG)
+        cand = jnp.minimum(a, b)
+        out = jnp.where(applies, cand, out)
+    return out
+
+
 def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
-             c_cols: int, m_len: int):
+             c_cols: int, m_len: int,
+             ins_budget=None):
     """Affine chain DP against a profile (scoring_scheme_profile
     semantics): like align_kernel.poa_dp_costs but specialised for
     predecessor == previous column, so the scan carry is just the
@@ -141,9 +175,14 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
     iidx = jnp.arange(M, dtype=jnp.float32)
     col0_edge = jnp.arange(M) == 0
 
+    aspace = ins_budget is not None
+
     def step(carry, xs):
         Vp, Dp, vend_row = carry
-        subrow, dgo, dge, j = xs
+        if aspace:
+            subrow, dgo, dge, budget, j = xs
+        else:
+            subrow, dgo, dge, j = xs
         base = jnp.where((j == 0) | col0_edge, jnp.float32(1.0), BIG)
 
         d_open = Vp + dgo
@@ -165,15 +204,25 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
         codeU = jnp.where(take_m, jnp.uint16(CODE_MATCH), codeU)
 
         cand = U + go - (iidx + 1.0) * ge
-        run = jax.lax.cummin(cand)
-        seed = jnp.float32(1.0)
-        prefix = jnp.concatenate(
-            [jnp.array([seed]), jnp.minimum(run[:-1], seed)]
-        )
-        Irow = prefix + iidx * ge
+        if aspace:
+            # bounded insertion runs (--insertion=forbid): no edge
+            # seed, run length <= budget (mesh.h:403-437)
+            wm = _windowed_min(cand, budget, M)
+            prefix = jnp.concatenate([jnp.array([BIG]), wm[:-1]])
+            prefix = jnp.where(budget < 1, BIG, prefix)
+            Irow = prefix + iidx * ge
+        else:
+            run = jax.lax.cummin(cand)
+            seed = jnp.float32(1.0)
+            prefix = jnp.concatenate(
+                [jnp.array([seed]), jnp.minimum(run[:-1], seed)]
+            )
+            Irow = prefix + iidx * ge
         Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
         Uprev = jnp.concatenate([jnp.array([BIG]), U[:-1]])
-        ins_opened = (Uprev + go) <= (Iprev + ge)
+        ins_opened = ((Uprev + go) <= (Iprev + ge)) | (
+            Irow + 1e-4 < Iprev + ge
+        )
 
         take_i = Irow <= U
         Vrow = jnp.where(take_i, Irow, U)
@@ -191,10 +240,13 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
     import jax
 
     Vp0 = jnp.full((M,), BIG, dtype=jnp.float32)
+    xs = (
+        (sub, del_open, del_ext, ins_budget, jnp.arange(C))
+        if aspace
+        else (sub, del_open, del_ext, jnp.arange(C))
+    )
     (Vp, Dp, vend_row), (bp, vlast) = jax.lax.scan(
-        step,
-        (Vp0, Vp0, Vp0),
-        (sub, del_open, del_ext, jnp.arange(C)),
+        step, (Vp0, Vp0, Vp0), xs
     )
     col_valid = jnp.arange(C) < c_real
     c1 = jnp.where(col_valid, vlast, BIG)
@@ -212,7 +264,9 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
 
 
 @functools.lru_cache(maxsize=64)
-def _profile_batched_fn(C: int, M: int, params: DpParams):
+def _profile_batched_fn(
+    C: int, M: int, params: DpParams, aspace: bool = False
+):
     import jax
     import jax.numpy as jnp
     from .align_kernel import traceback_device
@@ -226,7 +280,7 @@ def _profile_batched_fn(C: int, M: int, params: DpParams):
     ).reshape(C, 1)
     is_start = jnp.arange(C) == 0
 
-    def core(freqs, gapcost, qprof, qlen, c_real):
+    def core(freqs, gapcost, qprof, qlen, c_real, budget=None):
         from .align_kernel import BIG
 
         dot = jnp.dot(
@@ -239,13 +293,16 @@ def _profile_batched_fn(C: int, M: int, params: DpParams):
         sub = jnp.where(pad, BIG, sub)
         occ1 = occ[:, 0]
         bp, bc, bi, raw = chain_dp(
-            sub, go * occ1, ge * occ1, go, ge, qlen, c_real, C, M
+            sub, go * occ1, ge * occ1, go, ge, qlen, c_real, C, M,
+            ins_budget=budget,
         )
         emit = traceback_device(
             bp, bc, bi, chain_preds, is_start, C, M
         )
         return emit, bc, bi, raw
 
+    if aspace:
+        return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0)))
     return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0)))
 
 
@@ -319,14 +376,19 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
 
 
 def profile_dp_batch(
-    freqs, gapcost, qprof, qlen, c_real, params: DpParams
+    freqs, gapcost, qprof, qlen, c_real, params: DpParams,
+    budget=None,
 ):
     """Batched profile DP: freqs (B, C, 4), gapcost (B, C),
     qprof (B, M, 4), qlen (B,), c_real (B,).  Returns (emit (B, M),
-    best_c, best_i, raw)."""
+    best_c, best_i, raw).  `budget` (B, C) enables the aspace-aware
+    bounded-insertion mode (--insertion=forbid; XLA path only)."""
     import jax
 
     C, M = freqs.shape[1], qprof.shape[1]
+    if budget is not None:
+        fn = _profile_batched_fn(C, M, params, aspace=True)
+        return fn(freqs, gapcost, qprof, qlen, c_real, budget)
     if jax.default_backend() in ("tpu", "axon"):
         try:
             fn = _profile_pallas_fn(C, M, params)

@@ -54,8 +54,8 @@ def _chain_kernel(
     Vp = vp_ref[...]
     Dp = dp_ref[...]
     sub = sub_ref[0]
-    dgo = dgo_ref[0][:, None]  # (B, 1)
-    dge = dge_ref[0][:, None]
+    dgo = dgo_ref[0, 0][:, None]  # (B, 1)
+    dge = dge_ref[0, 0][:, None]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     edge = (_program_id() == 0) | (lane == 0)
@@ -140,8 +140,9 @@ def chain_dp_pallas(
     B = sub.shape[0]
     C, M = c_cols, m_len
     sub_t = sub.transpose(1, 0, 2)          # (C, B, M)
-    dgo_t = dgo.T                            # (C, B)
-    dge_t = dge.T
+    # (C, 1, B) so the (1, 1, B) block satisfies the TPU tiling rule
+    dgo_t = dgo.T.reshape(C, 1, B)
+    dge_t = dge.T.reshape(C, 1, B)
 
     kernel = functools.partial(
         _chain_kernel, go=go, ge=ge, m_len=M
@@ -151,8 +152,8 @@ def chain_dp_pallas(
         grid=(C,),
         in_specs=[
             pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
-            pl.BlockSpec((1, B), lambda j: (j, 0)),
-            pl.BlockSpec((1, B), lambda j: (j, 0)),
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),

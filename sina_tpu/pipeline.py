@@ -23,6 +23,7 @@ from .famfinder import FamFinder, FamFinderConfig, FamilyResult
 from .io.csv import CsvWriter
 from .io.fasta import FastaWriter, read_fasta
 from .log_stats import StatsPrinter
+from .progress import Progress
 from .refdb import ReferenceDb
 from .search import SearchConfig, SearchFilter
 from .sequence import Sequence
@@ -222,6 +223,7 @@ class Pipeline:
         n_aligned = 0
         seqno = 0
         batch: list[Sequence] = []
+        progress = Progress("Processing")
 
         def flush(batch):
             nonlocal n_aligned, seqno
@@ -236,6 +238,7 @@ class Pipeline:
                         w.write(a)
                 if a is not None:
                     n_aligned += 1
+                progress.update()
 
         for seq in self._read_input():
             batch.append(seq)
@@ -248,6 +251,7 @@ class Pipeline:
 
         for _, w in writers:
             w.close()
+        progress.close()
         self.stats.log_summary()
         elapsed = time.time() - t0
         rate = n_in / elapsed if elapsed > 0 else 0.0
