@@ -188,8 +188,8 @@ def align_batch(
     cfg: AlignerConfig | None = None,
     col_weights_list: list[np.ndarray | None] | None = None,
     astats_names: list[str] | None = None,
-    node_bucket: int = 256,
-    query_bucket: int = 128,
+    node_bucket: int = 512,
+    query_bucket: int = 256,
 ) -> list[Sequence | None]:
     """Align a batch of queries, each against its own family.  DP runs
     batched per (node, query-length) shape bucket via vmap; copy-path

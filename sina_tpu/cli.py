@@ -87,6 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--quiet", action="count", default=0)
     p.add_argument("--log-file", default="")
     p.add_argument("--show-dist", action="store_true")
+    p.add_argument("--show-diff", action="store_true")
     p.add_argument("--orig-db", default="")
     p.add_argument("--select-step", type=int, default=1,
                    help="read every Nth input sequence")
@@ -282,6 +283,7 @@ def config_from_args(args) -> PipelineConfig:
         fields=_split_fields(args.fields),
         batch_size=args.batch_size,
         show_dist=args.show_dist,
+        show_diff=args.show_diff,
         orig_db=args.orig_db or None,
         famfinder=fam,
         aligner=ali,

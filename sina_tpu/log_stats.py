@@ -31,9 +31,48 @@ from .sequence import Sequence
 logger = logging.getLogger("sina.stats")
 
 
+def write_alignment(
+    seqs: list[Sequence], from_pos: int, to_pos: int
+) -> str:
+    """Textual dump of an alignment region over several sequences,
+    deduplicating identical rows (cseq::write_alignment semantics,
+    /root/reference/src/cseq.cpp:361-454, uncolored)."""
+    if not seqs:
+        return "write_alignment(): no sequences?\n"
+    width = seqs[0].width
+    if from_pos > to_pos or to_pos >= width:
+        return "write_alignment(): range out of bounds!\n"
+    rows = []
+    for s in seqs:
+        text = s.get_aligned(dots=False)[from_pos : to_pos + 1]
+        rows.append(text)
+    # drop all-gap columns like the reference
+    keep = [
+        i
+        for i in range(len(rows[0]))
+        if any(r[i] != "-" for r in rows) or i == len(rows[0]) - 1
+    ]
+    rows = ["".join(r[i] for i in keep) for r in rows]
+    groups: dict[str, list[int]] = {}
+    for i, r in enumerate(rows):
+        groups.setdefault(r, []).append(i)
+    out = [f"Dumping pos {from_pos} through {to_pos}:"]
+    n = len(seqs)
+    for text, members in sorted(groups.items()):
+        tags = ""
+        if n - 1 in members:
+            tags += " <---(## NEW ##)"
+        if n - 2 in members:
+            tags += " <---(%% ORIG %%)"
+        ids = ",".join(str(m) for m in members)
+        out.append(f"{text} {ids}{tags}")
+    return "\n".join(out) + "\n"
+
+
 @dataclass
 class StatsPrinter:
     show_dist: bool = False
+    show_diff: bool = False
     helix_pairs: np.ndarray | None = None
     orig_db: object = None  # optional ReferenceDb with originals
 
@@ -78,6 +117,13 @@ class StatsPrinter:
 
         if self.show_dist:
             self._show_dist(orig, aligned, reference or [])
+        if self.show_diff:
+            refs = [r for _, r in (reference or [])]
+            for lo, hi in orig.find_differing_parts(aligned):
+                logger.info(
+                    "\n%s",
+                    write_alignment(refs + [orig, aligned], lo, hi),
+                )
 
     def _show_dist(self, orig, aligned, reference):
         if self.orig_db is not None:

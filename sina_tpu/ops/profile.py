@@ -56,43 +56,41 @@ def build_profile(family: list[Sequence]) -> Profile:
     column after their base) or gap-extend points (12 each)."""
     width = family[0].width
     n = len(family)
-    # per-column per-base points
-    pts = np.zeros((width, 4), dtype=np.float64)
-    occupied = np.zeros(width, dtype=bool)
     for s in family:
         if s.width != width:
             raise ValueError("family sequences differ in width")
-        m = s.masks & 0xF
-        amb = alphabet.AMBIG_ORDER[m].astype(np.float64)
-        w = 12.0 / np.maximum(amb, 1)
-        for b in range(4):
-            has = (m & _BASE_BITS[b]) != 0
-            np.add.at(pts[:, b], s.positions[has], w[has])
-        occupied[s.positions] = True
 
+    all_pos = np.concatenate([s.positions for s in family])
+    all_mask = np.concatenate([s.masks for s in family]) & 0xF
+    seq_ids = np.repeat(
+        np.arange(n), [len(s.positions) for s in family]
+    )
+    amb = alphabet.AMBIG_ORDER[all_mask].astype(np.float64)
+    w = 12.0 / np.maximum(amb, 1)
+
+    pts = np.zeros((width, 4), dtype=np.float64)
+    for b in range(4):
+        has = (all_mask & _BASE_BITS[b]) != 0
+        pts[:, b] = np.bincount(
+            all_pos[has], weights=w[has], minlength=width
+        )
+    occupied = pts.sum(axis=1) > 0
     cols = np.nonzero(occupied)[0].astype(np.int32)
     C = len(cols)
-    # gap open/extend counts per occupied column, per pseq.cpp:71-100:
-    # a sequence without a base at occupied column c contributes
-    # gap-open if it had a base at the previous occupied column (or
-    # has not started... the reference's `gap` flag starts True, so
-    # leading columns count as extend)
-    gapo = np.zeros(C, dtype=np.float64)
-    gape = np.zeros(C, dtype=np.float64)
     col_index = np.full(width, -1, dtype=np.int64)
     col_index[cols] = np.arange(C)
-    present = np.zeros((C, 1), dtype=bool)
-    for s in family:
-        pres = np.zeros(C, dtype=bool)
-        pres[col_index[s.positions]] = True
-        ingap = np.ones(C + 1, dtype=bool)  # gap[row] starts true
-        # ingap state BEFORE column k = not pres[k-1] chained; compute
-        # shift: state at col k depends on previous column's presence
-        prev_pres = np.concatenate([[False], pres[:-1]])
-        opens = (~pres) & prev_pres
-        exts = (~pres) & ~prev_pres
-        gapo += opens
-        gape += exts
+
+    # gap open/extend counts per occupied column (pseq.cpp:71-100):
+    # a sequence absent from occupied column c contributes gap-open if
+    # present at the previous occupied column, else gap-extend (the
+    # reference's gap flag starts true, so leading columns extend)
+    pres = np.zeros((n, C), dtype=bool)
+    pres[seq_ids, col_index[all_pos]] = True
+    prev = np.zeros((n, C), dtype=bool)
+    prev[:, 1:] = pres[:, :-1]
+    gapo = ((~pres) & prev).sum(axis=0).astype(np.float64)
+    gape = ((~pres) & ~prev).sum(axis=0).astype(np.float64)
+
     total = pts[cols].sum(axis=1) + 12.0 * (gapo + gape)
     total = np.maximum(total, 1e-9)
     freqs = (pts[cols] / total[:, None]).astype(np.float32)

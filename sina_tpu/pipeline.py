@@ -47,6 +47,7 @@ class PipelineConfig:
     fields: list[str] = field(default_factory=list)
     batch_size: int = 64
     show_dist: bool = False
+    show_diff: bool = False
     orig_db: str | None = None
 
     famfinder: FamFinderConfig = field(default_factory=FamFinderConfig)
@@ -97,7 +98,9 @@ class Pipeline:
                 sdb = ReferenceDb.open(sdb_path)
             self.searcher = SearchFilter(sdb, cfg.search, self.finder)
 
-        self.stats = StatsPrinter(show_dist=cfg.show_dist)
+        self.stats = StatsPrinter(
+            show_dist=cfg.show_dist, show_diff=cfg.show_diff
+        )
         if cfg.orig_db:
             self.stats.orig_db = ReferenceDb.open(cfg.orig_db)
         ref_for_pairs = self.db or (

@@ -237,6 +237,55 @@ class Sequence:
             ).astype(np.uint8)
         return stats
 
+    # -- alignment diffing --------------------------------------------
+
+    def find_differing_parts(
+        self, other: "Sequence"
+    ) -> list[tuple[int, int]]:
+        """Column ranges where this and `other` disagree (position or
+        base), merged with a 4-base cool-down (port of
+        cseq::find_differing_parts, /root/reference/src/cseq.cpp:
+        596-648); used by --show-diff."""
+        l_pos, r_pos = self.positions, other.positions
+        l_mask, r_mask = self.masks & 0xF, other.masks & 0xF
+        li = ri = 0
+        ln, rn = len(l_pos), len(r_pos)
+        result: list[tuple[int, int]] = []
+        score = 0
+        bad = False
+        start = 0
+        lpos = int(l_pos[0]) if ln else 0
+        rpos = int(r_pos[0]) if rn else 0
+        while li < ln and ri < rn:
+            if lpos < rpos:
+                score = 4
+                li += 1
+            elif rpos < lpos:
+                score = 4
+                ri += 1
+            else:
+                if l_mask[li] != r_mask[ri]:
+                    score = 4
+                li += 1
+                ri += 1
+            if li < ln:
+                lpos = int(l_pos[li])
+            if ri < rn:
+                rpos = int(r_pos[ri])
+            if score > 0:
+                if not bad:
+                    back = int(r_pos[max(0, ri - 2)])
+                    start = min(lpos, back)
+                    bad = True
+                else:
+                    score -= 1
+                    if score <= 0 and lpos == rpos:
+                        result.append((start, lpos))
+                        bad = False
+        if bad:
+            result.append((start, min(lpos, rpos)))
+        return result
+
     # -- pair score ---------------------------------------------------
 
     def calc_pair_score(self, pairs: np.ndarray) -> float:
