@@ -25,6 +25,19 @@ from .sequence import Sequence
 
 logger = logging.getLogger("sina.famfinder")
 
+
+def _score_topk_jit(P, kmers, k: int):
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def fn(P, kmers, k):
+        scores = kmer_scores(P, kmers)
+        return jax.lax.top_k(scores, k)
+
+    return fn(P, kmers, k=k)
+
+
 TURN_NONE = "none"
 TURN_REVCOMP = "revcomp"
 TURN_ALL = "all"
@@ -87,6 +100,25 @@ class FamFinder:
             )
         with t.section("score+fetch"):
             return np.asarray(kmer_scores(self._matrix(), kmers))
+
+    def score_topk(
+        self, mask_list: list[np.ndarray], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Device-side scoring + top-k: only the (B, k) candidate
+        lists cross the host link (the all-gather merge point in the
+        sharded path).  Ties resolve to the lowest id (deviation from
+        kmer_search.cpp:412 which prefers the highest)."""
+        import jax
+
+        t = get_timer("Kmer Search")
+        with t.section("extract kmers"):
+            kmers, _ = query_kmers_padded(
+                mask_list, self.index.k, fast=self.index.fast
+            )
+        k = min(k, self.index.n_seqs)
+        with t.section("score+topk"):
+            vals, ids = _score_topk_jit(self._matrix(), kmers, k)
+            return np.asarray(vals), np.asarray(ids)
 
     def find(
         self, query: Sequence, max_results: int
@@ -153,20 +185,29 @@ class FamFinder:
         self,
         query: Sequence,
         scores: np.ndarray | None = None,
+        ranked: list[tuple[float, int]] | None = None,
     ) -> list[tuple[float, Sequence]]:
         """Constraint-driven family selection (famfinder.cpp:497-612).
-        `scores` may be precomputed (batched path)."""
+        Either full `scores` or a pre-ranked candidate list may be
+        given (batched path); escalation refetches when the candidate
+        list runs out."""
         cfg = self.cfg
-        if scores is None:
-            scores = self.score_batch([query.masks])[0]
         cmp = Comparator(IUPAC_OPTIMISTIC, "none", COVER_QUERY, False)
         qbases = query.get_bases().upper().replace("U", "T")
 
         max_results = cfg.fs_max + 1
         n = self.index.n_seqs
         while True:
-            ranked = self._rank(scores, max_results)
-            kept = self._filter(ranked, query, qbases, cmp)
+            if ranked is not None and len(ranked) >= min(
+                max_results, n
+            ):
+                cand = ranked[:max_results]
+            else:
+                if scores is None:
+                    scores = self.score_batch([query.masks])[0]
+                cand = self._rank(scores, max_results)
+                ranked = None
+            kept = self._filter(cand, query, qbases, cmp)
             have, have_full, cl, cr = self._tally(kept)
             if (
                 have >= cfg.fs_max
@@ -318,25 +359,25 @@ class FamFinder:
                 mask_list.append(
                     q.copy().reverse().complement().masks
                 )
-        scores = self.score_batch(mask_list)
+        k0 = min(
+            max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
+        )
+        vals, ids = self.score_topk(mask_list, k0)
 
         out = []
         for b, q in enumerate(queries):
-            row = scores[b * variants_per]
+            row = b * variants_per
             if cfg.turn != TURN_NONE:
-                rows = scores[
-                    b * variants_per : (b + 1) * variants_per
-                ]
-                tops = rows.max(axis=1)
+                tops = vals[row : row + variants_per, 0]
                 order = (
                     [0, 1, 2, 3]
                     if variants_per == 4
                     else [0, 3]
                 )
                 best, best_score = 0, 0.0
-                for k, oi in enumerate(order):
-                    if tops[k] > best_score:
-                        best_score = float(tops[k])
+                for kk, oi in enumerate(order):
+                    if tops[kk] > best_score:
+                        best_score = float(tops[kk])
                         best = oi
                 names = [
                     "none", "reversed", "complemented",
@@ -349,21 +390,32 @@ class FamFinder:
                     q.complement()
                 if best != 0:
                     # orientation changed: rescore this query alone
-                    row = self.score_batch([q.masks])[0]
-            out.append(self._finish(q, row))
+                    v1, i1 = self.score_topk([q.masks], k0)
+                    ranked = list(
+                        zip(v1[0].astype(float), i1[0].tolist())
+                    )
+                    out.append(self._finish(q, ranked=ranked))
+                    continue
+            ranked = list(
+                zip(vals[row].astype(float), ids[row].tolist())
+            )
+            out.append(self._finish(q, ranked=ranked))
         return out
 
     def __call__(self, query: Sequence) -> FamilyResult:
         self.apply_turn(query)
-        return self._finish(query, None)
+        return self._finish(query)
 
     def _finish(
-        self, query: Sequence, scores: np.ndarray | None
+        self,
+        query: Sequence,
+        scores: np.ndarray | None = None,
+        ranked: list[tuple[float, int]] | None = None,
     ) -> FamilyResult:
         """Post-turn-check famfinder stage body
         (famfinder.cpp:439-494)."""
         cfg = self.cfg
-        family = self.match(query, scores)
+        family = self.match(query, scores=scores, ranked=ranked)
 
         # family string attr (famfinder.cpp:458-470)
         fam_str = " ".join(
