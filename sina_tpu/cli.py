@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "supported by the internal engine, as in the "
                    "reference)")
     g.add_argument("--fs-kmer-norel", action="store_true")
+    g.add_argument("--fs-oldmatch", action="store_true",
+                   help="legacy family composition (pt-server only "
+                   "in the reference; not supported here)")
     g.add_argument("--gene-start", type=int, default=0)
     g.add_argument("--gene-end", type=int, default=0)
     g.add_argument("--filter", dest="posvar_filter", default="")
@@ -213,6 +216,11 @@ def config_from_args(args) -> PipelineConfig:
     if intype == "csv":
         raise SystemExit(
             "Input type CSV invalid - can't parse sequences from that"
+        )
+    if args.fs_oldmatch:
+        raise SystemExit(
+            "Legacy family composition only available for pt-server "
+            "engine"
         )
     if args.fs_engine == "pt-server" or args.search_engine == "pt-server":
         logging.getLogger("sina").warning(

@@ -65,13 +65,25 @@ def _evolve(
     return out
 
 
+_PAIRING = {
+    alphabet.M_A: alphabet.M_TU,
+    alphabet.M_TU: alphabet.M_A,
+    alphabet.M_G: alphabet.M_C,
+    alphabet.M_C: alphabet.M_G,
+}
+
+
 def make_reference(
     n_seqs: int = 200,
     n_core: int = 900,
     width: int = 1500,
     seed: int = 1234,
+    n_stems: int = 0,
 ) -> ReferenceDb:
-    """Generate a synthetic reference MSA of n_seqs sequences."""
+    """Generate a synthetic reference MSA of n_seqs sequences.  With
+    n_stems > 0, helix stems are planted (complementary core columns)
+    and the bundle carries the pairing vector so the bp score metric
+    (cseq::calcPairScore) has signal."""
     rng = np.random.default_rng(seed)
     # root: occupied core columns spread over the width
     core_cols = np.sort(
@@ -79,6 +91,23 @@ def make_reference(
     )
     root = np.zeros(width, dtype=np.uint8)
     root[core_cols] = _random_base(rng, len(core_cols))
+
+    pairs = np.zeros(width, dtype=np.int32)
+    if n_stems > 0:
+        stem_len = 5
+        n_half = len(core_cols) // 2
+        for _ in range(n_stems):
+            a0 = int(rng.integers(0, max(1, n_half - stem_len)))
+            b0 = int(
+                rng.integers(n_half, len(core_cols) - stem_len)
+            )
+            for t in range(stem_len):
+                i = int(core_cols[a0 + t])
+                j = int(core_cols[b0 + stem_len - 1 - t])
+                if pairs[i] or pairs[j] or i == 0 or j == 0:
+                    continue
+                pairs[i], pairs[j] = j, i
+                root[j] = _PAIRING[int(root[i]) & 0xF]
     # per-column variability: mostly conserved, some hot columns
     rates = np.where(rng.random(width) < 0.25, 3.0, 0.35)
 
@@ -129,7 +158,7 @@ def make_reference(
         seq.attrs["stop"] = str(len(pos))
         seq.attrs["version"] = "1"
         seqs.append(seq)
-    return ReferenceDb(seqs, width)
+    return ReferenceDb(seqs, width, pairs=pairs)
 
 
 def make_queries(
