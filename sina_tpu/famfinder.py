@@ -26,16 +26,22 @@ from .sequence import Sequence
 logger = logging.getLogger("sina.famfinder")
 
 
-def _score_topk_jit(P, kmers, k: int):
-    import functools
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _score_topk_compiled(k: int):
     import jax
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def fn(P, kmers, k):
+    def fn(P, kmers):
         scores = kmer_scores(P, kmers)
         return jax.lax.top_k(scores, k)
 
-    return fn(P, kmers, k=k)
+    return jax.jit(fn)
+
+
+def _score_topk_jit(P, kmers, k: int):
+    return _score_topk_compiled(k)(P, kmers)
 
 
 TURN_NONE = "none"
