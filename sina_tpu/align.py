@@ -354,18 +354,9 @@ def _run_profile_bucket(
             budget[b, C - 1] = prof.width - int(prof.cols[-1]) - 1
     with t.section("profile dp"):
         emit, bc, bi, raw = profile_dp_batch(
-            jnp.asarray(freqs),
-            jnp.asarray(gapcost),
-            jnp.asarray(qprof),
-            jnp.asarray(ql),
-            jnp.asarray(cr),
-            params,
-            budget=jnp.asarray(budget) if aspace else None,
+            freqs, gapcost, qprof, ql, cr, params,
+            budget=budget if aspace else None,
         )
-        emit = np.asarray(emit)
-    bc = np.asarray(bc)
-    bi = np.asarray(bi)
-    raw = np.asarray(raw)
     for b, it in enumerate(items):
         idx, q, prof, cw, refs, log = it
         eidx = np.nonzero(emit[b] >= 0)[0]

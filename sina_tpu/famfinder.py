@@ -32,16 +32,20 @@ import functools as _functools
 @_functools.lru_cache(maxsize=8)
 def _score_topk_compiled(k: int):
     import jax
+    import jax.numpy as jnp
 
     def fn(P, kmers):
         scores = kmer_scores(P, kmers)
-        return jax.lax.top_k(scores, k)
+        vals, ids = jax.lax.top_k(scores, k)
+        # single packed output = single device->host round-trip
+        return jnp.concatenate([vals, ids], axis=1)
 
     return jax.jit(fn)
 
 
 def _score_topk_jit(P, kmers, k: int):
-    return _score_topk_compiled(k)(P, kmers)
+    packed = np.asarray(_score_topk_compiled(k)(P, kmers))
+    return packed[:, :k], packed[:, k:]
 
 
 TURN_NONE = "none"
@@ -123,8 +127,7 @@ class FamFinder:
             )
         k = min(k, self.index.n_seqs)
         with t.section("score+topk"):
-            vals, ids = _score_topk_jit(self._matrix(), kmers, k)
-            return np.asarray(vals), np.asarray(ids)
+            return _score_topk_jit(self._matrix(), kmers, k)
 
     def find(
         self, query: Sequence, max_results: int
@@ -259,7 +262,13 @@ class FamFinder:
                 continue
             if cfg.fs_leave_query_out and seq.name == query.name:
                 continue
-            if cfg.fs_msc_max <= 2 and cmp(query, seq) > cfg.fs_msc_max:
+            # the reference evaluates the comparator whenever
+            # max_score <= 2 (famfinder.cpp:555), but identities are
+            # <= 1, so thresholds above 1 can never remove anything —
+            # skip the (expensive) comparison then
+            if cfg.fs_msc_max < 1.0 and (
+                cmp(query, seq) > cfg.fs_msc_max
+            ):
                 continue
             # beyond fs-min, the reference keeps only items whose score
             # is below fs-msc plus quota-fillers (famfinder.cpp:578-588;

@@ -300,8 +300,53 @@ def _profile_batched_fn(
         return emit, bc, bi, raw
 
     if aspace:
-        return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0)))
-    return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, 0)))
+        vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0))
+
+        def packed(fg, qprof, lens, budget):
+            out = vm(
+                fg[:, :, :4], fg[:, :, 4], qprof,
+                lens[:, 0], lens[:, 1], budget,
+            )
+            return _pack_result(*out)
+
+        return jax.jit(packed)
+    vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0))
+
+    def packed(fg, qprof, lens):
+        out = vm(
+            fg[:, :, :4], fg[:, :, 4], qprof,
+            lens[:, 0], lens[:, 1],
+        )
+        return _pack_result(*out)
+
+    return jax.jit(packed)
+
+
+def _pack_result(emit, bc, bi, raw):
+    """Single-array result so one fetch crosses the host link:
+    (B, M+3) int32 = [emit | bc | bi | bitcast(raw)]."""
+    import jax
+    import jax.numpy as jnp
+
+    aux = jnp.stack(
+        [
+            bc.astype(jnp.int32),
+            bi.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                raw.astype(jnp.float32), jnp.int32
+            ),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([emit, aux], axis=1)
+
+
+def _unpack_result(packed: np.ndarray):
+    emit = packed[:, :-3]
+    bc = packed[:, -3]
+    bi = packed[:, -2]
+    raw = packed[:, -1].view(np.float32)
+    return emit, bc, bi, raw
 
 
 @functools.lru_cache(maxsize=64)
@@ -370,7 +415,14 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
         )(bp, bc, bi)
         return emit, bc, bi, raw
 
-    return jax.jit(fn)
+    def packed(fg, qprof, lens):
+        out = fn(
+            fg[:, :, :4], fg[:, :, 4], qprof,
+            lens[:, 0], lens[:, 1],
+        )
+        return _pack_result(*out)
+
+    return jax.jit(packed)
 
 
 def profile_dp_batch(
@@ -378,19 +430,35 @@ def profile_dp_batch(
     budget=None,
 ):
     """Batched profile DP: freqs (B, C, 4), gapcost (B, C),
-    qprof (B, M, 4), qlen (B,), c_real (B,).  Returns (emit (B, M),
-    best_c, best_i, raw).  `budget` (B, C) enables the aspace-aware
+    qprof (B, M, 4), qlen (B,), c_real (B,) as NUMPY arrays.
+    Returns numpy (emit (B, M), best_c, best_i, raw).  Inputs and the
+    result are packed so only three host->device and one device->host
+    transfers occur per call (the tunnelled backend pays ~30ms per
+    round-trip).  `budget` (B, C) enables the aspace-aware
     bounded-insertion mode (--insertion=forbid; XLA path only)."""
     import jax
+    import jax.numpy as jnp
 
     C, M = freqs.shape[1], qprof.shape[1]
+    fg = np.concatenate(
+        [np.asarray(freqs), np.asarray(gapcost)[:, :, None]], axis=2
+    ).astype(np.float32)
+    lens = np.stack(
+        [np.asarray(qlen), np.asarray(c_real)], axis=1
+    ).astype(np.int32)
+    fg_d = jnp.asarray(fg)
+    qp_d = jnp.asarray(np.asarray(qprof, dtype=np.float32))
+    lens_d = jnp.asarray(lens)
     if budget is not None:
         fn = _profile_batched_fn(C, M, params, aspace=True)
-        return fn(freqs, gapcost, qprof, qlen, c_real, budget)
+        out = fn(fg_d, qp_d, lens_d, jnp.asarray(budget))
+        return _unpack_result(np.asarray(out))
     if jax.default_backend() in ("tpu", "axon"):
         try:
             fn = _profile_pallas_fn(C, M, params)
-            return fn(freqs, gapcost, qprof, qlen, c_real)
+            return _unpack_result(
+                np.asarray(fn(fg_d, qp_d, lens_d))
+            )
         except Exception as e:  # pragma: no cover - fallback safety
             import logging
 
@@ -398,7 +466,7 @@ def profile_dp_batch(
                 "pallas profile kernel failed (%s); XLA fallback", e
             )
     fn = _profile_batched_fn(C, M, params)
-    return fn(freqs, gapcost, qprof, qlen, c_real)
+    return _unpack_result(np.asarray(fn(fg_d, qp_d, lens_d)))
 
 
 def profile_sub_costs(profile: Profile, qprof, params: DpParams):
