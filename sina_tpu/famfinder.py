@@ -93,12 +93,37 @@ class FamFinder:
             db, k=self.cfg.fs_kmer_len, fast=not self.cfg.fs_no_fast
         )
         self._P = None
+        self._mesh = None
+        self._sharded_fns: dict[int, object] = {}
 
     # -- device scoring ----------------------------------------------
 
     def _matrix(self):
         if self._P is None:
-            self._P = self.index.device_matrix()
+            import jax
+
+            devices = jax.devices()
+            if len(devices) > 1:
+                # shard the index over reference sequences (mp) and
+                # query batches over dp; per-shard top-k merges via
+                # all-gather (parallel/sharding.py)
+                from .parallel.sharding import (
+                    make_mesh, shard_index_matrix,
+                )
+                import jax.numpy as jnp
+
+                self._mesh = make_mesh(devices)
+                mp = self._mesh.shape["mp"]
+                P = self.index.dense()
+                S = P.shape[1]
+                S_pad = -(-S // mp) * mp
+                if S_pad != S:
+                    P = np.pad(P, ((0, 0), (0, S_pad - S)))
+                self._P = shard_index_matrix(
+                    self._mesh, jnp.asarray(P)
+                )
+            else:
+                self._P = self.index.device_matrix()
         return self._P
 
     def score_batch(self, mask_list: list[np.ndarray]) -> np.ndarray:
@@ -127,7 +152,34 @@ class FamFinder:
             )
         k = min(k, self.index.n_seqs)
         with t.section("score+topk"):
-            return _score_topk_jit(self._matrix(), kmers, k)
+            P = self._matrix()
+            if self._mesh is not None:
+                from .parallel.sharding import sharded_search
+                import jax
+
+                if k not in self._sharded_fns:
+                    self._sharded_fns[k] = sharded_search(
+                        self._mesh, k
+                    )
+                dp = self._mesh.shape["dp"]
+                B = kmers.shape[0]
+                B_pad = -(-B // dp) * dp
+                if B_pad != B:
+                    kmers = np.pad(
+                        kmers, ((0, B_pad - B), (0, 0)),
+                        constant_values=P.shape[0] - 1,
+                    )
+                vals, ids = self._sharded_fns[k](
+                    P, jax.numpy.asarray(kmers)
+                )
+                vals = np.asarray(vals)[:B]
+                ids = np.asarray(ids)[:B]
+                # sink candidates pointing at seq-axis padding
+                pad = ids >= self.index.n_seqs
+                vals = np.where(pad, -1, vals)
+                ids = np.where(pad, 0, ids)
+                return vals, ids
+            return _score_topk_jit(P, kmers, k)
 
     def find(
         self, query: Sequence, max_results: int
@@ -406,14 +458,18 @@ class FamFinder:
                 if best != 0:
                     # orientation changed: rescore this query alone
                     v1, i1 = self.score_topk([q.masks], k0)
-                    ranked = list(
-                        zip(v1[0].astype(float), i1[0].tolist())
-                    )
+                    ranked = [
+                        (float(v), int(i))
+                        for v, i in zip(v1[0], i1[0])
+                        if v >= 0
+                    ]
                     out.append(self._finish(q, ranked=ranked))
                     continue
-            ranked = list(
-                zip(vals[row].astype(float), ids[row].tolist())
-            )
+            ranked = [
+                (float(v), int(i))
+                for v, i in zip(vals[row], ids[row])
+                if v >= 0
+            ]
             out.append(self._finish(q, ranked=ranked))
         return out
 

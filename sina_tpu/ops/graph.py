@@ -122,6 +122,24 @@ def build_graph(
     )
 
 
+def graph_to_dot(g: LinearGraph, name: str = "reference") -> str:
+    """Graphviz dump of the POA graph (--debug-graph; semantics of
+    dag::print_graphviz, /root/reference/src/graph.h:359-394)."""
+    from .. import alphabet
+
+    lines = [f"digraph {name} {{", "rotate=90"]
+    for j in range(g.n_nodes):
+        ch = chr(alphabet.MASK_TO_RNA[g.mask[j]])
+        lines.append(
+            f'n{j} [ label = "{ch}({g.pos[j]})" ];'
+        )
+        for p in g.preds[j]:
+            if p >= 0:
+                lines.append(f"n{p} -> n{j};")
+    lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
 def pad_graph(g: LinearGraph, n_pad: int) -> LinearGraph:
     """Pad node arrays to n_pad for shape-bucketed batching.  Padding
     nodes are isolated non-start non-end nodes at the final column."""

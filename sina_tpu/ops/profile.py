@@ -409,20 +409,53 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
         bc, bi, raw = jax.vmap(sel, in_axes=(1, 0, 0))(
             V, qlen, c_real
         )
-        emit = jax.vmap(
-            lambda b, c, i: chain_traceback(b, c, i, M),
+        from .profile_pallas import chain_traceback_log
+
+        log = jax.vmap(
+            lambda b, c, i: chain_traceback_log(b, c, i, C, M),
             in_axes=(1, 0, 0),
-        )(bp, bc, bi)
-        return emit, bc, bi, raw
+        )(bp, bc, bi)                      # (B, L, 2)
+        B = log.shape[0]
+        aux = jnp.stack(
+            [
+                bc.astype(jnp.int32),
+                bi.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    raw.astype(jnp.float32), jnp.int32
+                ),
+            ],
+            axis=1,
+        )
+        return jnp.concatenate(
+            [log.reshape(B, -1), aux], axis=1
+        )
 
     def packed(fg, qprof, lens):
-        out = fn(
+        return fn(
             fg[:, :, :4], fg[:, :, 4], qprof,
             lens[:, 0], lens[:, 1],
         )
-        return _pack_result(*out)
 
     return jax.jit(packed)
+
+
+def _unpack_log_result(packed: np.ndarray, m_len: int):
+    """Convert the (B, 2L+3) packed log result to (emit, bc, bi,
+    raw)."""
+    B = packed.shape[0]
+    aux = packed[:, -3:]
+    log = packed[:, :-3].reshape(B, -1, 2)
+    emit = np.full((B, m_len), -1, dtype=np.int32)
+    bidx, step = np.nonzero(log[:, :, 0] >= 0)
+    ei = log[bidx, step, 0]
+    ej = log[bidx, step, 1]
+    emit[bidx, ei] = ej
+    return (
+        emit,
+        aux[:, 0],
+        aux[:, 1],
+        aux[:, 2].copy().view(np.float32),
+    )
 
 
 def profile_dp_batch(
@@ -456,8 +489,8 @@ def profile_dp_batch(
     if jax.default_backend() in ("tpu", "axon"):
         try:
             fn = _profile_pallas_fn(C, M, params)
-            return _unpack_result(
-                np.asarray(fn(fg_d, qp_d, lens_d))
+            return _unpack_log_result(
+                np.asarray(fn(fg_d, qp_d, lens_d)), M
             )
         except Exception as e:  # pragma: no cover - fallback safety
             import logging

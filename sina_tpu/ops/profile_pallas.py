@@ -190,6 +190,98 @@ _S_DONE = 6
 CODE_EDGE = 0
 
 
+def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
+    """Log-mode chain traceback: a fori_loop over a static step count
+    whose induction variable indexes the emission log, so under vmap
+    every lane writes the same log slot per step (a uniform
+    dynamic_update_slice instead of a batched scatter).  Returns
+    log (L, 2) int32 rows of (slave_i, column_j), -1 rows idle;
+    emissions appear in decreasing slave order."""
+    L = c_cols + 2 * m_len + 8
+
+    def body(step, carry):
+        j, i, state, log = carry
+        cell = bp[j, i].astype(jnp.int32)
+        code = cell & 0x3
+        dopen = (cell >> 2) & 1
+        iopen = (cell >> 3) & 1
+        at_edge = (i == 0) | (j == 0)
+
+        def s_resolve(_):
+            is_del = (code == CODE_DEL) & ~at_edge
+            ns = jnp.where(is_del, _S_CHAIN, _S_DECIDE)
+            return j, i, ns, jnp.where(is_del, -1, i), j
+
+        def mk_chain(nxt):
+            def s_chain(_):
+                pj = jnp.maximum(j - 1, 0)
+                stop = (dopen == 1) | (pj == 0)
+                chain = (
+                    _S_CHAIN if nxt == _S_RESOLVE else _S_CHAIN_NE
+                )
+                return pj, i, jnp.where(stop, nxt, chain), -1, j
+            return s_chain
+
+        def s_decide(_):
+            done = at_edge | (code == CODE_EDGE)
+            is_m = code == CODE_MATCH
+            is_i = code == CODE_INS
+            nj = jnp.where(is_m & ~done, j - 1, j)
+            ni = jnp.where(is_m & ~done, i - 1, i)
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(
+                    is_m, _S_RESOLVE,
+                    jnp.where(is_i, _S_INS, _S_CHAIN_NE),
+                ),
+            )
+            return nj, ni, ns, -1, j
+
+        def s_ins(_):
+            ni = i - 1
+            done = ni < 0
+            safe = jnp.maximum(ni, 0)
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(iopen == 1, _S_DECIDE, _S_INS),
+            )
+            return j, safe, ns, jnp.where(done, -1, safe), j
+
+        def s_done(_):
+            return j, i, jnp.int32(_S_DONE), -1, j
+
+        nj, ni, ns, ei, ej = jax.lax.switch(
+            jnp.minimum(state, 6),
+            [
+                s_resolve,
+                mk_chain(_S_RESOLVE),
+                s_decide,
+                s_ins,
+                s_resolve,
+                mk_chain(_S_DECIDE),
+                s_done,
+            ],
+            None,
+        )
+        row = jnp.stack([ei, jnp.where(ei >= 0, ej, -1)])
+        log = jax.lax.dynamic_update_slice(log, row[None], (step, 0))
+        return nj, ni, ns, log
+
+    log0 = jnp.full((L, 2), -1, dtype=jnp.int32)
+    j, i, state, log = jax.lax.fori_loop(
+        0,
+        L,
+        body,
+        (
+            best_c.astype(jnp.int32),
+            best_i.astype(jnp.int32),
+            jnp.int32(_S_RESOLVE),
+            log0,
+        ),
+    )
+    return log
+
+
 def chain_traceback(bp, best_c, best_i, m_len: int):
     """Traceback for one query over compact chain backpointers
     bp (C, M) uint8.  Returns emit (M,) int32 (column index per slave
