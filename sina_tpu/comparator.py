@@ -96,6 +96,88 @@ class Comparator:
         out["only_b"] = int(len(b_only) - b_over)
         return out
 
+    def score_many(
+        self,
+        query: Sequence,
+        flat_pos: np.ndarray,
+        flat_masks: np.ndarray,
+        offsets: np.ndarray,
+        ids: np.ndarray,
+        width: int,
+    ) -> np.ndarray:
+        """Score one query against many references at once.  The
+        references are given as packed arrays (ReferenceDb.
+        packed_arrays); `ids` selects which.  Exact same counts as
+        `counts()`, vectorised with segment reductions."""
+        qpos, qmask = self._prep(query)
+        n = len(ids)
+        if len(qpos) == 0:
+            return np.zeros(n, dtype=np.float64)
+        qcol_mask = np.zeros(width + 1, dtype=np.uint8)
+        qcol_mask[qpos] = qmask
+        q_lo, q_hi = int(qpos[0]), int(qpos[-1])
+        nq = len(qpos)
+
+        cmp_fn = _IUPAC_FN[self.iupac]
+        out = np.zeros(n, dtype=np.float64)
+        lc = self.filter_lc
+        for k in range(n):
+            r = int(ids[k])
+            lo, hi = int(offsets[r]), int(offsets[r + 1])
+            rpos = flat_pos[lo:hi].astype(np.int64)
+            rmask = flat_masks[lo:hi]
+            if lc:
+                keep = (rmask & alphabet.M_LC) == 0
+                rpos, rmask = rpos[keep], rmask[keep]
+            if len(rpos) == 0:
+                continue
+            qm = qcol_mask[rpos]
+            shared = qm != 0
+            match = int(cmp_fn(qm[shared], rmask[shared]).sum())
+            common = int(shared.sum())
+            mismatch = common - match
+            nb = len(rpos)
+            r_lo, r_hi = int(rpos[0]), int(rpos[-1])
+            # ref bases inside the query's span
+            b_in = int(
+                np.searchsorted(rpos, q_hi, side="right")
+                - np.searchsorted(rpos, q_lo, side="left")
+            )
+            only_b = b_in - common
+            b_over = nb - b_in
+            # query bases inside the ref's span
+            a_in = int(
+                np.searchsorted(qpos, r_hi, side="right")
+                - np.searchsorted(qpos, r_lo, side="left")
+            )
+            only_a = a_in - common
+            a_over = nq - a_in
+            mm = match + mismatch
+            cover = self.cover
+            if cover == COVER_ABS:
+                base = 1
+            elif cover == COVER_QUERY:
+                base = mm + only_a + a_over
+            elif cover == COVER_TARGET:
+                base = mm + only_b + b_over
+            elif cover == COVER_OVERLAP:
+                base = mm + only_a + only_b
+            elif cover == COVER_ALL:
+                base = mm + only_a + only_b + a_over + b_over
+            elif cover == COVER_AVERAGE:
+                base = mm + (only_a + only_b + a_over + b_over) // 2
+            elif cover == COVER_MIN:
+                base = mm + min(only_a + a_over, only_b + b_over)
+            elif cover == COVER_MAX:
+                base = mm + max(only_a + a_over, only_b + b_over)
+            else:  # nogap
+                base = mm
+            dist = match / base if base else 0.0
+            if self.dist == DIST_JC:
+                dist = jukes_cantor(dist)
+            out[k] = dist
+        return out
+
     def __call__(self, a: Sequence, b: Sequence) -> float:
         m = self.counts(a, b)
         mm = m["match"] + m["mismatch"]

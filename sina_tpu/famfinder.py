@@ -134,7 +134,8 @@ class FamFinder:
                 mask_list, self.index.k, fast=self.index.fast
             )
         with t.section("score+fetch"):
-            return np.asarray(kmer_scores(self._matrix(), kmers))
+            scores = np.asarray(kmer_scores(self._matrix(), kmers))
+            return scores[:, : self.index.n_seqs]
 
     def score_topk(
         self, mask_list: list[np.ndarray], k: int
@@ -179,7 +180,11 @@ class FamFinder:
                 vals = np.where(pad, -1, vals)
                 ids = np.where(pad, 0, ids)
                 return vals, ids
-            return _score_topk_jit(P, kmers, k)
+            vals, ids = _score_topk_jit(P, kmers, k)
+            pad = ids >= self.index.n_seqs
+            vals = np.where(pad, -1, vals)
+            ids = np.where(pad, 0, ids)
+            return vals, ids
 
     def find(
         self, query: Sequence, max_results: int

@@ -135,10 +135,13 @@ class KmerIndex:
     # -- dense representation ----------------------------------------
 
     def dense(self) -> np.ndarray:
-        """(n_rows+1, n_seqs) int8 incidence matrix; the extra final
-        row stays all-zero as the padding target for invalid k-mers."""
+        """(n_rows+1, S_pad) int8 incidence matrix; the extra final
+        row stays all-zero as the padding target for invalid k-mers,
+        and the sequence axis is padded to a multiple of 128 (TPU lane
+        tiling) with all-zero columns."""
         if self._dense is None:
-            P = np.zeros((self.n_rows + 1, self.n_seqs), dtype=np.int8)
+            s_pad = -(-self.n_seqs // 128) * 128
+            P = np.zeros((self.n_rows + 1, s_pad), dtype=np.int8)
             seq_ids = np.repeat(
                 np.arange(self.n_seqs, dtype=np.int64),
                 np.diff(self.seq_offsets),
