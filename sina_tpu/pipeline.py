@@ -174,11 +174,12 @@ class Pipeline:
                 [r.astats_weights for r in results],
                 [r.astats_name for r in results],
             )
+        if self.searcher is not None:
+            aligned = self.searcher.process_batch(aligned)
         out = []
         for q, a, fam in zip(batch, aligned, families):
             rel = fam
-            if self.searcher is not None and a is not None:
-                a = self.searcher(a)
+            if a is not None:
                 rel = getattr(a, "search_result", None) or fam
             out.append((q, a, rel))
         return out

@@ -117,35 +117,76 @@ class SearchFilter:
         qb = q.get_bases().upper().replace("U", "T")
         return qb in rb
 
+    def _packed(self):
+        if not hasattr(self, "_packed_arrays"):
+            self._packed_arrays = self.db.packed_arrays()
+        return self._packed_arrays
+
+    def process_batch(
+        self, aligned_list: list[Sequence | None]
+    ) -> list[Sequence | None]:
+        """Batched search: one device call retrieves candidates for
+        the whole batch; comparator rescoring uses the vectorised
+        many-vs-one scorer."""
+        cfg = self.cfg
+        todo = [
+            (i, a)
+            for i, a in enumerate(aligned_list)
+            if a is not None and len(a) >= 20
+        ]
+        for i, a in enumerate(aligned_list):
+            if a is not None and len(a) < 20:
+                logger.info(
+                    "%s: sequence too short for search (<20 bases)",
+                    a.name,
+                )
+        cand_per: dict[int, np.ndarray] = {}
+        if not cfg.search_all and todo and self.finder is not None:
+            vals, ids = self.finder.score_topk(
+                [a.masks for _, a in todo],
+                cfg.kmer_candidates,
+            )
+            for b, (i, _) in enumerate(todo):
+                cand_per[i] = ids[b][vals[b] >= 0]
+        out = list(aligned_list)
+        for i, a in todo:
+            out[i] = self._search_one(a, cand_per.get(i))
+        return out
+
     def __call__(self, aligned: Sequence | None) -> Sequence | None:
         if aligned is None:
             return None
+        return self.process_batch([aligned])[0]
+
+    def _search_one(
+        self, aligned: Sequence, cand_ids: np.ndarray | None
+    ) -> Sequence:
         cfg = self.cfg
         if len(aligned) < 20:
-            logger.info(
-                "%s: sequence too short for search (<20 bases)",
-                aligned.name,
-            )
             return aligned
 
-        if cfg.search_all:
-            cand_ids = range(len(self.db))
-        else:
-            ranked = self.finder.find(aligned, cfg.kmer_candidates)
-            cand_ids = [sid for _, sid in ranked]
+        if cfg.search_all or cand_ids is None:
+            cand_ids = np.arange(len(self.db))
 
+        offsets, flat_pos, flat_masks = self._packed()
+        scores = self.comparator.score_many(
+            aligned, flat_pos, flat_masks, offsets,
+            cand_ids, self.db.width,
+        )
+        order = np.argsort(-scores, kind="stable")
         items = []
-        for sid in cand_ids:
-            ref = self.db.sequences[sid]
-            if cfg.ignore_super and self._contains_query(ref, aligned):
+        for k in order:
+            if len(items) >= cfg.max_result:
+                break
+            sc = float(scores[k])
+            if sc <= cfg.min_sim:
+                break
+            ref = self.db.sequences[int(cand_ids[k])]
+            if cfg.ignore_super and self._contains_query(
+                ref, aligned
+            ):
                 continue
-            items.append((self.comparator(aligned, ref), ref))
-        items.sort(key=lambda t: -t[0])
-        items = [
-            it
-            for it in items[: cfg.max_result]
-            if it[0] > cfg.min_sim
-        ]
+            items.append((sc, ref))
 
         nearest = []
         tax_by_field: dict[str, list[list[str]]] = {}

@@ -1,0 +1,40 @@
+"""Vectorised many-vs-one comparator must match the pairwise one."""
+
+import numpy as np
+import pytest
+
+from sina_tpu import testing
+from sina_tpu.comparator import (
+    Comparator,
+    IUPAC_OPTIMISTIC, IUPAC_EXACT,
+    COVER_QUERY, COVER_OVERLAP, COVER_TARGET, COVER_NOGAP,
+    DIST_JC,
+)
+
+
+@pytest.mark.parametrize(
+    "iupac,cover,dist,filter_lc",
+    [
+        (IUPAC_OPTIMISTIC, COVER_QUERY, "none", False),
+        (IUPAC_EXACT, COVER_OVERLAP, "none", False),
+        (IUPAC_OPTIMISTIC, COVER_TARGET, DIST_JC, False),
+        (IUPAC_OPTIMISTIC, COVER_NOGAP, "none", True),
+    ],
+)
+def test_score_many_matches_pairwise(iupac, cover, dist, filter_lc):
+    db = testing.make_reference(n_seqs=40, n_core=200, width=400, seed=17)
+    offsets, flat_pos, flat_masks = db.packed_arrays()
+    q = testing.make_queries(db, n=1, seed=3)[0]
+    cmp = Comparator(iupac, dist, cover, filter_lc)
+    ids = np.arange(len(db))
+    many = cmp.score_many(
+        q, flat_pos, flat_masks, offsets, ids, db.width
+    )
+    for i in range(len(db)):
+        expect = cmp(q, db.sequences[i])
+        if np.isnan(expect):
+            # JC of identity > 3/4 is NaN in both implementations
+            # (and in the reference's log of a negative argument)
+            assert np.isnan(many[i]), i
+        else:
+            assert many[i] == pytest.approx(expect, abs=1e-9), i
