@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="count", default=0)
     p.add_argument("-q", "--quiet", action="count", default=0)
     p.add_argument("--log-file", default="")
+    p.add_argument("--jax-profile-dir", default="",
+                   help="write a JAX profiler trace of the run to "
+                   "this directory (view with tensorboard/xprof)")
     p.add_argument("--show-dist", action="store_true")
     p.add_argument("--show-diff", action="store_true")
     p.add_argument("--orig-db", default="")
@@ -341,7 +344,13 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Configuration error:\n{e}", file=sys.stderr)
         return 1
     try:
-        summary = pipe.run()
+        if args.jax_profile_dir:
+            import jax
+
+            with jax.profiler.trace(args.jax_profile_dir):
+                summary = pipe.run()
+        else:
+            summary = pipe.run()
     except (OSError, ValueError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1

@@ -72,6 +72,10 @@ def query_kmers_padded(
     n_rows = 4 ** (k - 1) if fast else 4 ** k
     L = pad_to or max((len(v) for v in lists), default=1)
     L = max(L, 1)
+    if pad_to is None:
+        # stable shape buckets: a data-dependent L would force a new
+        # kernel compile per batch
+        L = -(-L // 512) * 512
     out = np.full((len(lists), L), n_rows, dtype=np.int32)
     counts = np.zeros(len(lists), dtype=np.int32)
     for i, v in enumerate(lists):

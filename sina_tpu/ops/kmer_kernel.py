@@ -50,16 +50,24 @@ def kmer_scores_xla(P, kmers, chunk: int = 32):
     return acc
 
 
-def _pallas_kernel(kmer_ref, P_row, out_ref):
+_KMER_G = 8  # matrix rows accumulated per grid step
+
+
+def _pallas_kernel(kmer_ref, *refs):
     from jax.experimental import pallas as pl
 
+    rows = refs[:_KMER_G]
+    out_ref = refs[_KMER_G]
     l = pl.program_id(1)
 
     @pl.when(l == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    out_ref[...] += P_row[...].astype(jnp.int32)
+    acc = rows[0][...].astype(jnp.int32)
+    for r in rows[1:]:
+        acc += r[...].astype(jnp.int32)
+    out_ref[...] += acc
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -67,23 +75,31 @@ def kmer_scores_pallas(P, kmers):
     """TPU path.  P: (R+1, S) int8, kmers: (B, L) int32 -> (B, S) int32.
 
     Rows are viewed as (R+1, 1, S) so the (1, 1, S) block satisfies the
-    TPU tiling rule (last two block dims equal to the array's); each
-    grid step (b, l) DMAs row kmer[b, l] HBM->VMEM (auto-pipelined)
-    and accumulates into the b-th VMEM-resident output row."""
+    TPU tiling rule; each grid step (b, l) DMAs G rows (G index-mapped
+    views of the same matrix, amortising per-step DMA latency) and
+    accumulates into the b-th VMEM-resident output row."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, L = kmers.shape
+    G = _KMER_G
+    pad = (-L) % G
+    if pad:
+        kmers = jnp.pad(
+            kmers, ((0, 0), (0, pad)), constant_values=P.shape[0] - 1
+        )
+        L += pad
     S = P.shape[1]
     P3 = P.reshape(P.shape[0], 1, S)
 
+    def mk_index(g):
+        return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, L),
+        grid=(B, L // G),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, S), lambda b, l, kref: (kref[b, l], 0, 0)
-            ),
+            pl.BlockSpec((1, 1, S), mk_index(g)) for g in range(G)
         ],
         out_specs=pl.BlockSpec(
             (1, 1, S), lambda b, l, kref: (b, 0, 0)
@@ -96,7 +112,7 @@ def kmer_scores_pallas(P, kmers):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(kmers, P3)
+    )(kmers, *([P3] * G))
     return out.reshape(B, S)
 
 

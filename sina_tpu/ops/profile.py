@@ -116,37 +116,7 @@ def query_profile_weights(qmask: np.ndarray) -> np.ndarray:
     return out
 
 
-def _windowed_min(W, R, M: int):
-    """min over the trailing window [i-R+1, i] of W, per i, with a
-    traced row-constant window length R (sparse-table doubling,
-    aspace-aware insertion budget, mesh.h:403-437)."""
-    import jax.numpy as jnp
-    from .align_kernel import BIG
-
-    levels = [W]
-    n = 1
-    while n < M:
-        prev = levels[-1]
-        shifted = jnp.concatenate(
-            [jnp.full((n,), BIG), prev[:-n]]
-        )
-        levels.append(jnp.minimum(prev, shifted))
-        n *= 2
-    T = jnp.stack(levels)  # (L, M) T[s][i] = min W[i-2^s+1 .. i]
-    L = T.shape[0]
-    iidx = jnp.arange(M)
-    Rc = jnp.clip(R, 1, M)
-    out = jnp.full((M,), BIG)
-    for s in range(L):
-        size = 1 << s
-        applies = (Rc >= size) & ((Rc < 2 * size) | (s == L - 1))
-        a = T[s]
-        # second interval covering [i-R+1, i-R+2^s]
-        idx2 = jnp.clip(iidx - Rc + size, 0, M - 1)
-        b = jnp.where(iidx - Rc + size >= 0, T[s][idx2], BIG)
-        cand = jnp.minimum(a, b)
-        out = jnp.where(applies, cand, out)
-    return out
+from .align_kernel import _windowed_min
 
 
 def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
