@@ -287,6 +287,11 @@ def _run_graph_bucket(
         ql[b] = len(q.masks)
         nr[b] = graph.n_nodes
         cw_pad[b, : len(cw)] = cw
+    max_ins = None
+    if cfg.insertion == INSERTION_FORBID:
+        max_ins = jnp.asarray(
+            np.stack([g.max_insert for g in g_list])
+        )
     emit, bj, bi, raw = ak.poa_dp_batch(
         jnp.asarray(np.stack([g.pos for g in g_list])),
         jnp.asarray(
@@ -301,6 +306,7 @@ def _run_graph_bucket(
         jnp.asarray(nr),
         jnp.asarray(cw_pad),
         params,
+        max_insert=max_ins,
     )
     emit = np.asarray(emit)
     bj = np.asarray(bj)

@@ -96,6 +96,31 @@ def poa_dp(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "m_len", "params")
+)
+def poa_dp_forbid(
+    node_pos, node_mask, node_weight, preds, is_start, is_end,
+    qmask, qlen, n_real, col_weights, max_insert,
+    n_nodes: int, m_len: int, params: DpParams,
+):
+    """Graph-mode DP with the aspace-aware bounded insertion budget
+    (--insertion=forbid, mesh.h:377-438)."""
+    N, M = n_nodes, m_len
+    go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
+    wcol = col_weights[node_pos]
+    wins = col_weights[jnp.minimum(node_pos + 1, col_weights.shape[0] - 1)]
+    compat = (node_mask[:, None] & qmask[None, :] & 0xF) != 0
+    sub = jnp.where(
+        compat, jnp.float32(params.match), jnp.float32(params.mismatch)
+    ) * (wcol * node_weight)[:, None]
+    return poa_dp_costs(
+        sub, go * wcol, ge * wcol, go * wins, ge * wins,
+        preds, is_start, is_end, qlen, n_real,
+        n_nodes=N, m_len=M, ins_budget=max_insert,
+    )
+
+
 def _windowed_min(W, R, M: int):
     """min over the trailing window [i-R+1, i] of W, per i, with a
     traced row-constant window length R (sparse-table doubling,
@@ -140,6 +165,7 @@ def poa_dp_costs(
     n_real,        # () int32  actual node count
     n_nodes: int,
     m_len: int,
+    ins_budget=None,  # (N,) int32 bounded insertions (forbid mode)
 ):
     """Cost-parameterised DP core shared by graph (mseq) and profile
     (pseq) modes.  Returns (bp (N, M) uint16, best_j, best_i, raw)."""
@@ -199,11 +225,17 @@ def poa_dp_costs(
         go_i = ins_open[j]
         ge_i = ins_ext[j]
         cand = U + go_i - (iidx + 1.0) * ge_i
-        run = jax.lax.cummin(cand)
-        seed = jnp.float32(1.0)  # I[j,0] edge value
-        prefix = jnp.concatenate(
-            [seed[None], jnp.minimum(run[:-1], seed)]
-        )
+        if ins_budget is None:
+            run = jax.lax.cummin(cand)
+            seed = jnp.float32(1.0)  # I[j,0] edge value
+            prefix = jnp.concatenate(
+                [seed[None], jnp.minimum(run[:-1], seed)]
+            )
+        else:
+            # bounded runs, no edge seed (mesh.h:403-437)
+            wm = _windowed_min(cand, ins_budget[j], M)
+            prefix = jnp.concatenate([jnp.array([BIG]), wm[:-1]])
+            prefix = jnp.where(ins_budget[j] < 1, BIG, prefix)
         Irow = prefix + iidx * ge_i
         # opened at i (vs extended): U[i-1]+go <= I[i-1]+ge
         Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
@@ -255,32 +287,54 @@ def poa_dp_costs(
 
 
 @functools.lru_cache(maxsize=64)
-def _batched_fn(n_nodes: int, m_len: int, params: DpParams):
+def _batched_fn(
+    n_nodes: int, m_len: int, params: DpParams, aspace: bool = False
+):
     """Compiled vmapped DP + on-device traceback for one shape bucket.
     Only the per-base emission array leaves the device; the V/D/BP
     lattices live and die in HBM."""
 
-    def core(pos, mask, w, preds, st, en, qm, ql, nr, cw):
-        bp, bj, bi, raw = poa_dp(
-            pos, mask, w, preds, st, en, qm, ql, nr, cw,
-            n_nodes=n_nodes, m_len=m_len, params=params,
-        )
+    def core(pos, mask, w, preds, st, en, qm, ql, nr, cw,
+             max_ins=None):
+        if aspace:
+            bp, bj, bi, raw = poa_dp_forbid(
+                pos, mask, w, preds, st, en, qm, ql, nr, cw,
+                max_ins, n_nodes=n_nodes, m_len=m_len, params=params,
+            )
+        else:
+            bp, bj, bi, raw = poa_dp(
+                pos, mask, w, preds, st, en, qm, ql, nr, cw,
+                n_nodes=n_nodes, m_len=m_len, params=params,
+            )
         emit = traceback_device(
             bp, bj, bi, preds, st, n_nodes, m_len
         )
         return emit, bj, bi, raw
 
-    return jax.jit(jax.vmap(core))
+    if aspace:
+        return jax.jit(jax.vmap(core))
+    return jax.jit(
+        jax.vmap(lambda *a: core(*a))
+    )
 
 
 def poa_dp_batch(
     pos, mask, weight, preds, is_start, is_end,
     qmask, qlen, n_real, col_weights, params: DpParams,
+    max_insert=None,
 ):
     """Batched DP over stacked padded graphs/queries: leading batch
     axis on every array argument.  Returns (emit (B, M), best_j,
-    best_i, raw)."""
-    fn = _batched_fn(pos.shape[1], qmask.shape[1], params)
+    best_i, raw).  `max_insert` (B, N) enables forbid mode."""
+    fn = _batched_fn(
+        pos.shape[1], qmask.shape[1], params,
+        aspace=max_insert is not None,
+    )
+    if max_insert is not None:
+        return fn(
+            pos, mask, weight, preds, is_start, is_end,
+            qmask, qlen, n_real, col_weights, max_insert,
+        )
     return fn(
         pos, mask, weight, preds, is_start, is_end,
         qmask, qlen, n_real, col_weights,

@@ -76,3 +76,32 @@ def test_forbid_accuracy_close_to_shift():
         assert out is not None
         assert out.get_bases().upper() == true_q.get_bases().upper()
         assert cmp_exact(true_q, out) > 0.8
+
+
+def test_forbid_graph_engine():
+    refs = [
+        Sequence.from_string("r1", "AGA--CGUCA"),
+        Sequence.from_string("r2", "AGA--CGUCA"),
+    ]
+    q = Sequence.from_string("q", "AGAUCGUCA")
+    out = align_sequence(
+        q, fam(*refs),
+        AlignerConfig(realign=True, insertion="forbid",
+                      engine="graph"),
+    )
+    assert out is not None
+    assert out.get_aligned(dots=False) == "AGA-UCGUCA"
+
+    # no room: graph forbid must still align all bases
+    refs2 = [
+        Sequence.from_string("r1", "AGACGUCA"),
+        Sequence.from_string("r2", "AGACGUCA"),
+    ]
+    q2 = Sequence.from_string("q", "AGACUGUCA")
+    out2 = align_sequence(
+        q2, fam(*refs2),
+        AlignerConfig(realign=True, insertion="forbid",
+                      engine="graph"),
+    )
+    assert out2 is not None
+    assert out2.get_bases() == "AGACUGUCA"
