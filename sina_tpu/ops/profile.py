@@ -385,17 +385,21 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
             lambda b, c, i: chain_traceback_log(b, c, i, C, M),
             in_axes=(1, 0, 0),
         )(bp, bc, bi)                      # (B, L, 2)
-        # log -> per-base emission on device (one scatter per query;
-        # idle -1 rows drop as out-of-bounds), so only (B, M+3) ints
-        # cross the host link
-        emit = jax.vmap(
-            lambda lg: jnp.full((M,), -1, jnp.int32)
-            # -1 sentinel rows map to index M: a true out-of-bounds
-            # (negative indices would wrap in jax scatters)
-            .at[jnp.where(lg[:, 0] < 0, M, lg[:, 0])]
-            .set(lg[:, 1], mode="drop")
-        )(log)
-        return _pack_result(emit, bc, bi, raw)
+        # ship the raw log; the scatter to per-base emission happens
+        # on host (a device scatter compiled for minutes on the
+        # tunnelled backend)
+        B = log.shape[0]
+        aux = jnp.stack(
+            [
+                bc.astype(jnp.int32),
+                bi.astype(jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    raw.astype(jnp.float32), jnp.int32
+                ),
+            ],
+            axis=1,
+        )
+        return jnp.concatenate([log.reshape(B, -1), aux], axis=1)
 
     def packed(fg, qprof, lens):
         return fn(
@@ -456,7 +460,9 @@ def profile_dp_batch(
     if jax.default_backend() in ("tpu", "axon"):
         try:
             fn = _profile_pallas_fn(C, M, params)
-            return _unpack_result(np.asarray(fn(fg_d, qp_d, lens_d)))
+            return _unpack_log_result(
+                np.asarray(fn(fg_d, qp_d, lens_d)), M
+            )
         except Exception as e:  # pragma: no cover - fallback safety
             import logging
 

@@ -79,7 +79,9 @@ def test_pallas_path_matches_xla_path():
         qprof[b, qlen[b]:] = 0
     params = DpParams()
 
-    from sina_tpu.ops.profile import _unpack_result
+    from sina_tpu.ops.profile import (
+        _unpack_result, _unpack_log_result,
+    )
 
     xla = _profile_batched_fn(C, M, params)
     pal = _profile_pallas_fn(C, M, params)
@@ -87,7 +89,7 @@ def test_pallas_path_matches_xla_path():
     lens = np.stack([qlen, cr], axis=1).astype(np.int32)
     args = [jnp.asarray(x) for x in (fg, qprof, lens)]
     e1, c1, i1, r1 = _unpack_result(np.asarray(xla(*args)))
-    e2, c2, i2, r2 = _unpack_result(np.asarray(pal(*args)))
+    e2, c2, i2, r2 = _unpack_log_result(np.asarray(pal(*args)), M)
     np.testing.assert_allclose(r1, r2, rtol=1e-5)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_array_equal(i1, i2)
