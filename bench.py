@@ -78,8 +78,8 @@ def main() -> int:
 
     acfg = AlignerConfig()
 
-    def run(batch):
-        results = finder.process_batch(batch)
+    def run(batch, handle=None):
+        results = finder.process_batch(batch, handle=handle)
         aligned = align_batch(
             batch,
             [r.family if not r.failed else [] for r in results],
@@ -92,11 +92,18 @@ def main() -> int:
     n_warm = run(queries[: args.batch_size])
     t_warm = time.time() - t0
 
-    # timed steady state
+    # timed steady state with famfinder double buffering
     t0 = time.time()
     n_done = 0
-    for i in range(args.batch_size, len(queries), args.batch_size):
-        n_done += run(queries[i : i + args.batch_size])
+    batches = [
+        queries[i : i + args.batch_size]
+        for i in range(args.batch_size, len(queries), args.batch_size)
+    ]
+    handles = [finder.submit_batch(batches[0])] if batches else []
+    for bi, batch in enumerate(batches):
+        if bi + 1 < len(batches):
+            handles.append(finder.submit_batch(batches[bi + 1]))
+        n_done += run(batch, handle=handles[bi])
     elapsed = time.time() - t0
     n_timed = len(queries) - args.batch_size
 

@@ -404,8 +404,27 @@ class FamFinder:
 
     # -- full stage ---------------------------------------------------
 
+    def submit_batch(self, queries: list[Sequence]):
+        """Dispatch the device scoring for a batch WITHOUT fetching,
+        so callers can overlap it with other device/host work; pass
+        the handle to process_batch(queries, handle=...)."""
+        cfg = self.cfg
+        if not queries or cfg.turn != TURN_NONE or (
+            self._mesh is not None
+        ):
+            return None  # turn/sharded paths fetch eagerly
+        kmers, _ = query_kmers_padded(
+            [q.masks for q in queries],
+            self.index.k,
+            fast=self.index.fast,
+        )
+        k0 = min(
+            max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
+        )
+        return _score_topk_compiled(k0)(self._matrix(), kmers), k0
+
     def process_batch(
-        self, queries: list[Sequence]
+        self, queries: list[Sequence], handle=None
     ) -> list[FamilyResult]:
         """Batched famfinder: one device call scores every query (and
         every turn-check orientation); the per-query policy runs on
@@ -414,6 +433,23 @@ class FamFinder:
         B = len(queries)
         if B == 0:
             return []
+        if handle is not None:
+            packed, k0 = handle
+            packed = np.asarray(packed)
+            vals, ids = packed[:, :k0], packed[:, k0:]
+            pad = ids >= self.index.n_seqs
+            vals = np.where(pad, -1, vals)
+            ids = np.where(pad, 0, ids)
+            out = []
+            for b, q in enumerate(queries):
+                q.set_attr("turn_slv", "turn-check disabled")
+                ranked = [
+                    (float(v), int(i))
+                    for v, i in zip(vals[b], ids[b])
+                    if v >= 0
+                ]
+                out.append(self._finish(q, ranked=ranked))
+            return out
         if cfg.turn == TURN_NONE:
             for q in queries:
                 q.set_attr("turn_slv", "turn-check disabled")

@@ -150,7 +150,7 @@ class Pipeline:
     # -- batch processing ---------------------------------------------
 
     def _process_batch(
-        self, batch: list[Sequence]
+        self, batch: list[Sequence], handle=None
     ) -> list[tuple[Sequence, Sequence | None, list]]:
         cfg = self.cfg
         if cfg.prealigned:
@@ -160,7 +160,7 @@ class Pipeline:
             families = [[] for _ in batch]
         else:
             results: list[FamilyResult] = self.finder.process_batch(
-                batch
+                batch, handle=handle
             )
             # align_batch updates this list in place when the aligner
             # filters the family (realign / containment)
@@ -229,9 +229,9 @@ class Pipeline:
         batch: list[Sequence] = []
         progress = Progress("Processing")
 
-        def flush(batch):
+        def flush(batch, handle):
             nonlocal n_aligned, seqno
-            for q, a, rel in self._process_batch(batch):
+            for q, a, rel in self._process_batch(batch, handle):
                 seqno += 1
                 self.stats(q, a, rel or [], seqno)
                 rel_seqs = [s for _, s in rel] if rel else []
@@ -244,14 +244,31 @@ class Pipeline:
                     n_aligned += 1
                 progress.update()
 
+        # double buffering: the famfinder scoring for the NEXT batch
+        # is dispatched (async) before the current batch's alignment
+        # and host post-processing, overlapping device and host work
+        pending: list[Sequence] | None = None
+        pending_handle = None
         for seq in self._read_input():
             batch.append(seq)
             n_in += 1
             if len(batch) >= cfg.batch_size:
-                flush(batch)
+                if pending is not None:
+                    flush(pending, pending_handle)
+                pending = batch
+                pending_handle = (
+                    None
+                    if cfg.prealigned
+                    else self.finder.submit_batch(batch)
+                )
                 batch = []
-        if batch:
-            flush(batch)
+        for last in (pending, batch or None):
+            if last:
+                handle = (
+                    pending_handle if last is pending else None
+                )
+                flush(last, handle)
+                pending_handle = None
 
         for _, w in writers:
             w.close()
