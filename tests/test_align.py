@@ -134,3 +134,22 @@ def test_accuracy_on_synthetic_db():
         assert out.get_bases().upper() == true_q.get_bases().upper()
         sps.append(cmp_exact(true_q, out))
     assert np.mean(sps) > 0.95, f"avg_sps {np.mean(sps)} too low"
+
+
+def test_host_traceback_matches_device():
+    """The python traceback (oracle) and the on-device walker must
+    produce identical alignments."""
+    from sina_tpu.align import align_sequence_host_traceback
+
+    db = testing.make_reference(n_seqs=60, n_core=300, width=500, seed=23)
+    queries = testing.make_queries(db, n=5, seed=9, branch_len=0.6)
+    cfg = AlignerConfig(realign=True, engine="graph")
+    for true_q in queries:
+        q = unaligned_copy(true_q)
+        pid = db.index_of(true_q.get_attr("parent"))
+        fam_seqs = [db.sequences[(pid + k) % len(db)] for k in range(8)]
+        dev = align_sequence(q, fam(*fam_seqs), cfg)
+        host = align_sequence_host_traceback(q, fam(*fam_seqs), cfg)
+        assert dev is not None and host is not None
+        assert dev.positions.tolist() == host.positions.tolist()
+        assert dev.masks.tolist() == host.masks.tolist()
