@@ -150,8 +150,9 @@ def try_copy_alignment(
     )
     if exact is not None:
         ref = exact[0][1]
+        # positions come from the template; bases/case stay the
+        # query's own (align.cpp:355)
         out.positions = ref.positions.copy()
-        out.masks = out.masks  # keep query's own bases/case
         log.append(
             f"copied alignment from identical template sequence "
             f"{ref.get_attr('acc', ref.name)};"

@@ -194,10 +194,7 @@ def config_from_args(args) -> PipelineConfig:
     outtypes = list(args.outtype)
     outs = list(args.out)
     if not outs:
-        if args.in_path != "-":
-            outputs.append(("fasta", "-"))
-        else:
-            outputs.append(("fasta", "-"))
+        outputs.append(("fasta", "-"))
     for i, o in enumerate(outs):
         t = outtypes[i] if i < len(outtypes) else "auto"
         t = detect_type(o, t)

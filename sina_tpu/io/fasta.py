@@ -182,9 +182,15 @@ class FastaWriter:
         self.excluded = 0
         self._relatives_written: set[str] = set()
         self._csv = None
-        if meta == META_CSV and str(path) != "-":
-            self._csv_path = Path(path).with_suffix(".csv")
-            self._csv = open(self._csv_path, "w")
+        if meta == META_CSV:
+            if str(path) == "-":
+                logger.warning(
+                    "meta-fmt csv needs a file output for the "
+                    "sidecar CSV; metadata will not be written"
+                )
+            else:
+                self._csv_path = Path(path).with_suffix(".csv")
+                self._csv = open(self._csv_path, "w")
 
     def __enter__(self):
         return self

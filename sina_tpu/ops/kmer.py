@@ -45,9 +45,8 @@ def kmers_of_masks(
     ok = ~sliding_window_view(ambig, k).any(axis=1)
     if prefix_base is not None:
         ok &= idx[: n - k + 1] == prefix_base
-        # with the A prefix (index 0) the leading 2 bits are zero, so
-        # vals are already < 4**(k-1); mask for safety with others
-        vals = vals % (4 ** (k - 1)) if prefix_base == 0 else vals
+        # strip the (constant) prefix bits so values are < 4**(k-1)
+        vals = vals % (4 ** (k - 1))
     vals = vals[ok]
     if unique:
         vals = np.unique(vals)

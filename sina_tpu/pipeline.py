@@ -205,19 +205,28 @@ class Pipeline:
                 block_size=cfg.fasta_block,
                 block_idx=cfg.fasta_idx,
             )
-        wanted = None
+        # reference semantics (rw_arb.cpp:193-260): the selection list
+        # is the select-file's names (in file order) or the input
+        # order; skip the first `select_skip` entries, then take the
+        # LAST of every `select_step` names (first yield is entry
+        # skip+step-1)
+        step, skip = cfg.select_step, cfg.select_skip
         if cfg.select_file:
-            wanted = set(
-                Path(cfg.select_file).read_text().split()
-            )
+            names = Path(cfg.select_file).read_text().split()
+            by_name = {}
+            wanted = set(names)
+            for seq in seqs:
+                if seq.name in wanted and seq.name not in by_name:
+                    by_name[seq.name] = seq
+            for name in names[skip:][step - 1 :: step]:
+                if name in by_name:
+                    yield by_name[name]
+            return
         for i, seq in enumerate(seqs):
-            if wanted is not None and seq.name not in wanted:
+            if i < skip:
                 continue
-            if i < cfg.select_skip:
-                continue
-            if (i - cfg.select_skip) % cfg.select_step != 0:
-                continue
-            yield seq
+            if (i - skip) % step == step - 1:
+                yield seq
 
     def run(self) -> dict:
         cfg = self.cfg

@@ -100,7 +100,15 @@ class SearchFilter:
         )
         if c.search_all:
             self.finder = None
-        elif finder is not None and finder.db is db:
+        elif (
+            finder is not None
+            and finder.db is db
+            and finder.index.k == c.kmer_len
+            and finder.index.fast == (not c.no_fast)
+        ):
+            # same db and same index parameters: share the index
+            # (the reference builds a second kmer_search keyed by
+            # (db, k, fast) which dedupes identically)
             self.finder = finder
         else:
             self.finder = FamFinder(
@@ -111,11 +119,18 @@ class SearchFilter:
             )
 
     def _contains_query(self, ref: Sequence, q: Sequence) -> bool:
-        """Aligned containment with IUPAC-aware equality
-        (search_filter.cpp:225-230)."""
-        rb = ref.get_bases().upper().replace("U", "T")
-        qb = q.get_bases().upper().replace("U", "T")
-        return qb in rb
+        """Containment with IUPAC-aware base equality
+        (search_filter.cpp:225-230: boost contains over bases with
+        aligned_base::comp)."""
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        rm = ref.masks & 0xF
+        qm = q.masks & 0xF
+        m = len(qm)
+        if m == 0 or len(rm) < m:
+            return False
+        windows = sliding_window_view(rm, m)        # (n-m+1, m)
+        return bool(((windows & qm[None, :]) != 0).all(axis=1).any())
 
     def _packed(self):
         if not hasattr(self, "_packed_arrays"):

@@ -18,10 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import alphabet
-
-
-def jukes_cantor(x: np.ndarray) -> np.ndarray:
-    return -3.0 / 4 * np.log(1.0 - 4.0 / 3 * x)
+from .comparator import jukes_cantor
 
 
 def compute_weights(astat: dict) -> np.ndarray:
