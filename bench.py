@@ -35,6 +35,11 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--fs-max", type=int, default=40)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--amplicon", action="store_true",
+        help="V4-amplicon workload (~250nt queries; the reference's "
+        "second headline: 1M amplicons/h ~ 280 seq/s)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -61,6 +66,15 @@ def main() -> int:
             db, n=args.n_queries, seed=7, branch_len=0.7
         )
     ]
+    if args.amplicon:
+        # trim to a ~250nt window (V4-amplicon style)
+        for q in queries:
+            lo = min(400, max(0, len(q.masks) - 250) // 2)
+            q.masks = q.masks[lo : lo + 250]
+            import numpy as _np
+
+            q.positions = _np.arange(len(q.masks), dtype=_np.uint32)
+            q.width = len(q.masks)
     t_gen = time.time() - t0
 
     t0 = time.time()
@@ -119,13 +133,19 @@ def main() -> int:
         f"(aligned {n_done + n_warm}/{len(queries)})",
         file=sys.stderr,
     )
+    if args.amplicon:
+        metric = "V4 amplicon alignment throughput (1 chip)"
+        baseline = 280.0  # 1M amplicons / ~60 min (README.rst:33)
+    else:
+        metric = "full-length rRNA alignment throughput (1 chip)"
+        baseline = BASELINE_SEQ_S
     print(
         json.dumps(
             {
-                "metric": "full-length rRNA alignment throughput (1 chip)",
+                "metric": metric,
                 "value": round(rate, 2),
                 "unit": "seq/s",
-                "vs_baseline": round(rate / BASELINE_SEQ_S, 2),
+                "vs_baseline": round(rate / baseline, 2),
             }
         )
     )

@@ -229,27 +229,31 @@ def align_batch(
             if col_weights_list[idx] is not None:
                 w = col_weights_list[idx]
                 cw[: len(w)] = w
+            n_shape = template.n_nodes
         else:
-            from .ops.profile import build_profile
-
-            with _t.section("build profile"):
-                template = build_profile(refs)
-            # scoring_scheme_profile is unweighted (align.cpp:429-432)
-            cw = np.ones(template.width + 2, dtype=np.float32)
+            # profile construction happens batched per bucket; only
+            # the occupied-column count is needed for bucketing
+            with _t.section("count cols"):
+                n_shape = len(
+                    np.unique(
+                        np.concatenate(
+                            [r.positions for r in refs]
+                        )
+                    )
+                )
+            template = None
+            cw = np.ones(refs[0].width + 2, dtype=np.float32)
         q = query.copy()
         if cfg.lowercase != LOWERCASE_ORIGINAL:
             q.upper_case_all()
-        todo.append((idx, q, template, cw, refs, log))
+        todo.append((idx, q, template, cw, refs, log, n_shape))
 
     # group into shape buckets
     buckets: dict[tuple[int, int], list] = {}
     for item in todo:
-        _, q, template, _, _, _ = item
-        n = (
-            template.n_nodes if engine == "graph" else template.n_cols
-        )
+        _, q, _, _, _, _, n_shape = item
         key = (
-            _bucket(n, node_bucket),
+            _bucket(n_shape, node_bucket),
             _bucket(len(q.masks), query_bucket),
         )
         buckets.setdefault(key, []).append(item)
@@ -283,7 +287,7 @@ def _run_graph_bucket(
     ql = np.zeros(len(items), dtype=np.int32)
     nr = np.zeros(len(items), dtype=np.int32)
     for b, it in enumerate(items):
-        _, q, graph, cw, _, _ = it
+        _, q, graph, cw, _, _, _ = it
         qm[b, : len(q.masks)] = q.masks
         ql[b] = len(q.masks)
         nr[b] = graph.n_nodes
@@ -314,7 +318,7 @@ def _run_graph_bucket(
     bi = np.asarray(bi)
     raw = np.asarray(raw)
     for b, it in enumerate(items):
-        idx, q, graph, cw, refs, log = it
+        idx, q, graph, cw, refs, log, _ = it
         eidx = np.nonzero(emit[b] >= 0)[0]
         head = int(eidx[0]) if len(eidx) else 0
         pairs = (emit[b][eidx], eidx)
@@ -330,25 +334,31 @@ def _run_profile_bucket(
 ):
     import jax.numpy as jnp
 
-    from .ops.profile import profile_dp_batch, query_profile_weights
+    from .ops.profile import (
+        build_profiles_batch,
+        profile_dp_batch,
+        query_profile_weights,
+    )
 
     t = get_timer("Aligner")
     B = len(items)
     aspace = cfg.insertion == INSERTION_FORBID
-    freqs = np.zeros((B, cpad, 4), dtype=np.float32)
-    gapcost = np.zeros((B, cpad), dtype=np.float32)
+    width = items[0][4][0].width
+    with t.section("build profile"):
+        pfreqs, pgapo, pgape, cols_list = build_profiles_batch(
+            [it[4] for it in items], cpad
+        )
+    gapcost = (
+        params.gap_open * pgapo + params.gap_ext * pgape
+    ).astype(np.float32)
     qprof = np.zeros((B, mpad, 4), dtype=np.float32)
     ql = np.zeros(B, dtype=np.int32)
     cr = np.zeros(B, dtype=np.int32)
     budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
     for b, it in enumerate(items):
-        _, q, prof, _, _, _ = it
-        C = prof.n_cols
-        freqs[b, :C] = prof.freqs
-        gapcost[b, :C] = (
-            params.gap_open * prof.gap_open
-            + params.gap_ext * prof.gap_ext
-        )
+        _, q, _, _, _, _, _ = it
+        cols = cols_list[b]
+        C = len(cols)
         qp = query_profile_weights(q.masks)
         qprof[b, : len(qp)] = qp
         ql[b] = len(q.masks)
@@ -356,22 +366,22 @@ def _run_profile_bucket(
         if aspace:
             # free columns between occupied columns (mesh.h:480-484)
             budget[b, : C - 1] = (
-                np.diff(prof.cols.astype(np.int64)) - 1
+                np.diff(cols.astype(np.int64)) - 1
             )
-            budget[b, C - 1] = prof.width - int(prof.cols[-1]) - 1
+            budget[b, C - 1] = width - int(cols[-1]) - 1
     with t.section("profile dp"):
         emit, bc, bi, raw = profile_dp_batch(
-            freqs, gapcost, qprof, ql, cr, params,
+            pfreqs, gapcost, qprof, ql, cr, params,
             budget=budget if aspace else None,
         )
     for b, it in enumerate(items):
-        idx, q, prof, cw, refs, log = it
+        idx, q, _, cw, refs, log, _ = it
         eidx = np.nonzero(emit[b] >= 0)[0]
         head = int(eidx[0]) if len(eidx) else 0
         pairs = (emit[b][eidx], eidx)
-        ones = np.ones(prof.n_cols, dtype=np.float32)
+        ones = np.ones(len(cols_list[b]), dtype=np.float32)
         results[idx] = finish_alignment(
-            queries[idx], q, prof.cols, ones, prof.width,
+            queries[idx], q, cols_list[b], ones, width,
             pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
             cfg, cw, refs, astats_names[idx], list(log),
         )
