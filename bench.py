@@ -50,7 +50,9 @@ def main() -> int:
     import numpy as np
 
     from sina_tpu import testing
-    from sina_tpu.align import AlignerConfig, align_batch
+    from sina_tpu.align import (
+        AlignerConfig, align_batch, align_dispatch, align_finalize,
+    )
     from sina_tpu.famfinder import FamFinder, FamFinderConfig
 
     t0 = time.time()
@@ -92,13 +94,16 @@ def main() -> int:
 
     acfg = AlignerConfig()
 
-    def run(batch, handle=None):
+    def dispatch(batch, handle=None):
         results = finder.process_batch(batch, handle=handle)
-        aligned = align_batch(
+        return align_dispatch(
             batch,
             [r.family if not r.failed else [] for r in results],
             acfg,
         )
+
+    def run(batch, handle=None):
+        aligned = align_finalize(dispatch(batch, handle))
         return sum(1 for a in aligned if a is not None)
 
     # warmup (compile)
@@ -106,7 +111,10 @@ def main() -> int:
     n_warm = run(queries[: args.batch_size])
     t_warm = time.time() - t0
 
-    # timed steady state with famfinder double buffering
+    # timed steady state: 3-deep software pipeline (famfinder N+1
+    # queued, DP N in flight, host finishing N-1) as in pipeline.run
+    from collections import deque
+
     t0 = time.time()
     n_done = 0
     batches = [
@@ -114,10 +122,19 @@ def main() -> int:
         for i in range(args.batch_size, len(queries), args.batch_size)
     ]
     handles = [finder.submit_batch(batches[0])] if batches else []
+    al_q = deque()
     for bi, batch in enumerate(batches):
         if bi + 1 < len(batches):
             handles.append(finder.submit_batch(batches[bi + 1]))
-        n_done += run(batch, handle=handles[bi])
+        al_q.append(dispatch(batch, handle=handles[bi]))
+        if len(al_q) >= 2:
+            n_done += sum(
+                1 for a in align_finalize(al_q.popleft()) if a
+            )
+    while al_q:
+        n_done += sum(
+            1 for a in align_finalize(al_q.popleft()) if a
+        )
     elapsed = time.time() - t0
     n_timed = len(queries) - args.batch_size
 

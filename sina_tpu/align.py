@@ -183,7 +183,7 @@ def _bucket(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
-def align_batch(
+def align_dispatch(
     queries: list[Sequence],
     families: list[list[tuple[float, Sequence]]],
     cfg: AlignerConfig | None = None,
@@ -191,10 +191,13 @@ def align_batch(
     astats_names: list[str] | None = None,
     node_bucket: int = 512,
     query_bucket: int = 256,
-) -> list[Sequence | None]:
-    """Align a batch of queries, each against its own family.  DP runs
-    batched per (node, query-length) shape bucket via vmap; copy-path
-    and post-processing stay host-side."""
+):
+    """Dispatch a batch alignment WITHOUT fetching: runs the copy
+    path, builds profiles/graphs and launches the device DP per shape
+    bucket, then returns an in-flight handle for align_finalize.
+    Callers overlap the device work + result transfer with host work
+    on other batches (the TBB-pipeline overlap of sina.cpp:452-586,
+    restructured as software pipelining over batches)."""
     import jax.numpy as jnp
 
     cfg = cfg or AlignerConfig()
@@ -259,21 +262,53 @@ def align_batch(
         buckets.setdefault(key, []).append(item)
 
     params = cfg.dp_params()
+    thunks = []
     for (npad, mpad), items in buckets.items():
         if engine == "graph":
-            _run_graph_bucket(
-                items, npad, mpad, params, cfg, queries,
-                astats_names, results,
+            thunks.append(
+                _dispatch_graph_bucket(
+                    items, npad, mpad, params, cfg, queries,
+                    astats_names, results,
+                )
             )
         else:
-            _run_profile_bucket(
-                items, npad, mpad, params, cfg, queries,
-                astats_names, results,
+            thunks.append(
+                _dispatch_profile_bucket(
+                    items, npad, mpad, params, cfg, queries,
+                    astats_names, results,
+                )
             )
+    return results, thunks
+
+
+def align_finalize(state) -> list[Sequence | None]:
+    """Fetch + post-process an align_dispatch handle."""
+    results, thunks = state
+    for t in thunks:
+        t()
     return results
 
 
-def _run_graph_bucket(
+def align_batch(
+    queries: list[Sequence],
+    families: list[list[tuple[float, Sequence]]],
+    cfg: AlignerConfig | None = None,
+    col_weights_list: list[np.ndarray | None] | None = None,
+    astats_names: list[str] | None = None,
+    node_bucket: int = 512,
+    query_bucket: int = 256,
+) -> list[Sequence | None]:
+    """Align a batch of queries, each against its own family
+    (synchronous dispatch+finalize)."""
+    return align_finalize(
+        align_dispatch(
+            queries, families, cfg, col_weights_list, astats_names,
+            node_bucket, query_bucket,
+        )
+    )
+
+
+def _dispatch_graph_bucket(
     items, npad, mpad, params, cfg, queries, astats_names, results
 ):
     import jax.numpy as jnp
@@ -297,7 +332,7 @@ def _run_graph_bucket(
         max_ins = jnp.asarray(
             np.stack([g.max_insert for g in g_list])
         )
-    emit, bj, bi, raw = ak.poa_dp_batch(
+    out = ak.poa_dp_batch(
         jnp.asarray(np.stack([g.pos for g in g_list])),
         jnp.asarray(
             np.stack([g.mask.astype(np.int32) for g in g_list])
@@ -313,31 +348,36 @@ def _run_graph_bucket(
         params,
         max_insert=max_ins,
     )
-    emit = np.asarray(emit)
-    bj = np.asarray(bj)
-    bi = np.asarray(bi)
-    raw = np.asarray(raw)
-    for b, it in enumerate(items):
-        idx, q, graph, cw, refs, log, _ = it
-        eidx = np.nonzero(emit[b] >= 0)[0]
-        head = int(eidx[0]) if len(eidx) else 0
-        pairs = (emit[b][eidx], eidx)
-        results[idx] = finish_alignment(
-            queries[idx], q, graph.pos, graph.weight, graph.width,
-            pairs, head, int(bj[b]), int(bi[b]), float(raw[b]),
-            cfg, cw, refs, astats_names[idx], list(log),
-        )
+    for arr in out:
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax
+            pass
+
+    def finalize():
+        emit, bj, bi, raw = (np.asarray(a) for a in out)
+        for b, it in enumerate(items):
+            idx, q, graph, cw, refs, log, _ = it
+            eidx = np.nonzero(emit[b] >= 0)[0]
+            head = int(eidx[0]) if len(eidx) else 0
+            pairs = (emit[b][eidx], eidx)
+            results[idx] = finish_alignment(
+                queries[idx], q, graph.pos, graph.weight,
+                graph.width, pairs, head, int(bj[b]), int(bi[b]),
+                float(raw[b]), cfg, cw, refs, astats_names[idx],
+                list(log),
+            )
+
+    return finalize
 
 
-def _run_profile_bucket(
+def _dispatch_profile_bucket(
     items, cpad, mpad, params, cfg, queries, astats_names, results
 ):
-    import jax.numpy as jnp
-
     from .ops.profile import (
         build_profiles_batch,
-        profile_dp_batch,
-        query_profile_weights,
+        profile_dp_dispatch,
+        profile_dp_fetch,
     )
 
     t = get_timer("Aligner")
@@ -351,7 +391,7 @@ def _run_profile_bucket(
     gapcost = (
         params.gap_open * pgapo + params.gap_ext * pgape
     ).astype(np.float32)
-    qprof = np.zeros((B, mpad, 4), dtype=np.float32)
+    qmask = np.zeros((B, mpad), dtype=np.uint8)
     ql = np.zeros(B, dtype=np.int32)
     cr = np.zeros(B, dtype=np.int32)
     budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
@@ -359,8 +399,7 @@ def _run_profile_bucket(
         _, q, _, _, _, _, _ = it
         cols = cols_list[b]
         C = len(cols)
-        qp = query_profile_weights(q.masks)
-        qprof[b, : len(qp)] = qp
+        qmask[b, : len(q.masks)] = q.masks
         ql[b] = len(q.masks)
         cr[b] = C
         if aspace:
@@ -369,22 +408,28 @@ def _run_profile_bucket(
                 np.diff(cols.astype(np.int64)) - 1
             )
             budget[b, C - 1] = width - int(cols[-1]) - 1
-    with t.section("profile dp"):
-        emit, bc, bi, raw = profile_dp_batch(
-            pfreqs, gapcost, qprof, ql, cr, params,
+    with t.section("profile dp dispatch"):
+        handle = profile_dp_dispatch(
+            pfreqs, gapcost, qmask, ql, cr, params,
             budget=budget if aspace else None,
         )
-    for b, it in enumerate(items):
-        idx, q, _, cw, refs, log, _ = it
-        eidx = np.nonzero(emit[b] >= 0)[0]
-        head = int(eidx[0]) if len(eidx) else 0
-        pairs = (emit[b][eidx], eidx)
-        ones = np.ones(len(cols_list[b]), dtype=np.float32)
-        results[idx] = finish_alignment(
-            queries[idx], q, cols_list[b], ones, width,
-            pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
-            cfg, cw, refs, astats_names[idx], list(log),
-        )
+
+    def finalize():
+        with t.section("profile dp fetch"):
+            emit, bc, bi, raw = profile_dp_fetch(handle)
+        for b, it in enumerate(items):
+            idx, q, _, cw, refs, log, _ = it
+            eidx = np.nonzero(emit[b] >= 0)[0]
+            head = int(eidx[0]) if len(eidx) else 0
+            pairs = (emit[b][eidx], eidx)
+            ones = np.ones(len(cols_list[b]), dtype=np.float32)
+            results[idx] = finish_alignment(
+                queries[idx], q, cols_list[b], ones, width,
+                pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
+                cfg, cw, refs, astats_names[idx], list(log),
+            )
+
+    return finalize
 
 
 def align_sequence(

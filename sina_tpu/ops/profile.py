@@ -325,6 +325,21 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
     return bp, best_c, best_i, raw
 
 
+def _device_qprof(qmask):
+    """(…, M) int mask → (…, M, 4) f32 query profile on device;
+    matches query_profile_weights (pseq.h:66-86) but is pure
+    elementwise math, so only the uint8 masks cross the host link
+    (16x less transfer than shipping the f32 profile)."""
+    import jax.numpy as jnp
+
+    m = (qmask & 0xF).astype(jnp.int32)
+    bits = jnp.stack(
+        [(m >> s) & 1 for s in range(4)], axis=-1
+    ).astype(jnp.float32)
+    cnt = bits.sum(axis=-1, keepdims=True)
+    return bits / jnp.maximum(cnt, 1.0)
+
+
 @functools.lru_cache(maxsize=64)
 def _profile_batched_fn(
     C: int, M: int, params: DpParams, aspace: bool = False
@@ -366,9 +381,10 @@ def _profile_batched_fn(
     if aspace:
         vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0))
 
-        def packed(fg, qprof, lens, budget):
+        def packed(fg, qmask, lens, budget):
+            fg = fg.astype(jnp.float32)
             out = vm(
-                fg[:, :, :4], fg[:, :, 4], qprof,
+                fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
                 lens[:, 0], lens[:, 1], budget,
             )
             return _pack_result(*out)
@@ -376,9 +392,10 @@ def _profile_batched_fn(
         return jax.jit(packed)
     vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0))
 
-    def packed(fg, qprof, lens):
+    def packed(fg, qmask, lens):
+        fg = fg.astype(jnp.float32)
         out = vm(
-            fg[:, :, :4], fg[:, :, 4], qprof,
+            fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
         )
         return _pack_result(*out)
@@ -414,9 +431,14 @@ def _unpack_result(packed: np.ndarray):
 
 
 @functools.lru_cache(maxsize=64)
-def _profile_pallas_fn(C: int, M: int, params: DpParams):
+def _profile_pallas_fn(
+    C: int, M: int, params: DpParams, compact: bool = True
+):
     """TPU fast path: Pallas chain kernel + device end-selection and
-    traceback over the compact backpointer layout."""
+    traceback over the compact backpointer layout.  With ``compact``
+    (the default; requires C, M < 32767) the traceback log and the
+    (best_c, best_i, raw) aux words ship as one int16 array — half
+    the device→host bytes of the int32 layout."""
     import jax
     import jax.numpy as jnp
     from .profile_pallas import chain_dp_pallas, chain_traceback
@@ -493,11 +515,18 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
             ],
             axis=1,
         )
+        if compact:
+            log16 = log.astype(jnp.int16).reshape(B, -1)
+            aux16 = jax.lax.bitcast_convert_type(
+                aux, jnp.int16
+            ).reshape(B, -1)
+            return jnp.concatenate([log16, aux16], axis=1)
         return jnp.concatenate([log.reshape(B, -1), aux], axis=1)
 
-    def packed(fg, qprof, lens):
+    def packed(fg, qmask, lens):
+        fg = fg.astype(jnp.float32)
         return fn(
-            fg[:, :, :4], fg[:, :, 4], qprof,
+            fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
         )
 
@@ -505,11 +534,16 @@ def _profile_pallas_fn(C: int, M: int, params: DpParams):
 
 
 def _unpack_log_result(packed: np.ndarray, m_len: int):
-    """Convert the (B, 2L+3) packed log result to (emit, bc, bi,
-    raw)."""
+    """Convert the packed log result to (emit, bc, bi, raw).  Accepts
+    the int32 layout (B, 2L+3) or the compact int16 layout (B, 2L+6)
+    where the three aux words are bitcast int32 halves."""
     B = packed.shape[0]
-    aux = packed[:, -3:]
-    log = packed[:, :-3].reshape(B, -1, 2)
+    if packed.dtype == np.int16:
+        aux = np.ascontiguousarray(packed[:, -6:]).view(np.int32)
+        log = packed[:, :-6].astype(np.int32).reshape(B, -1, 2)
+    else:
+        aux = packed[:, -3:]
+        log = packed[:, :-3].reshape(B, -1, 2)
     emit = np.full((B, m_len), -1, dtype=np.int32)
     bidx, step = np.nonzero(log[:, :, 0] >= 0)
     ei = log[bidx, step, 0]
@@ -523,48 +557,80 @@ def _unpack_log_result(packed: np.ndarray, m_len: int):
     )
 
 
-def profile_dp_batch(
-    freqs, gapcost, qprof, qlen, c_real, params: DpParams,
+def profile_dp_dispatch(
+    freqs, gapcost, qmask, qlen, c_real, params: DpParams,
     budget=None,
 ):
-    """Batched profile DP: freqs (B, C, 4), gapcost (B, C),
-    qprof (B, M, 4), qlen (B,), c_real (B,) as NUMPY arrays.
-    Returns numpy (emit (B, M), best_c, best_i, raw).  Inputs and the
-    result are packed so only three host->device and one device->host
-    transfers occur per call (the tunnelled backend pays ~30ms per
-    round-trip).  `budget` (B, C) enables the aspace-aware
-    bounded-insertion mode (--insertion=forbid; XLA path only)."""
+    """Dispatch the batched profile DP WITHOUT fetching: freqs
+    (B, C, 4), gapcost (B, C), qmask (B, M) uint8 IUPAC masks, qlen
+    (B,), c_real (B,) as NUMPY arrays.  The profile ships as f16 and
+    the query as raw masks (the device rebuilds the f32 query profile
+    elementwise), and the device→host result starts copying back
+    asynchronously — callers overlap the in-flight work with host
+    post-processing and fetch via profile_dp_fetch.  `budget` (B, C)
+    enables the aspace-aware bounded-insertion mode
+    (--insertion=forbid; XLA path only)."""
     import jax
     import jax.numpy as jnp
 
-    C, M = freqs.shape[1], qprof.shape[1]
+    C, M = freqs.shape[1], qmask.shape[1]
     fg = np.concatenate(
         [np.asarray(freqs), np.asarray(gapcost)[:, :, None]], axis=2
-    ).astype(np.float32)
+    ).astype(np.float16)
     lens = np.stack(
         [np.asarray(qlen), np.asarray(c_real)], axis=1
     ).astype(np.int32)
     fg_d = jnp.asarray(fg)
-    qp_d = jnp.asarray(np.asarray(qprof, dtype=np.float32))
+    qm_d = jnp.asarray(np.asarray(qmask, dtype=np.uint8))
     lens_d = jnp.asarray(lens)
+    kind = "xla"
+    out = None
     if budget is not None:
         fn = _profile_batched_fn(C, M, params, aspace=True)
-        out = fn(fg_d, qp_d, lens_d, jnp.asarray(budget))
-        return _unpack_result(np.asarray(out))
-    if jax.default_backend() in ("tpu", "axon"):
+        out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget))
+    elif jax.default_backend() in ("tpu", "axon"):
         try:
-            fn = _profile_pallas_fn(C, M, params)
-            return _unpack_log_result(
-                np.asarray(fn(fg_d, qp_d, lens_d)), M
-            )
+            compact = max(C, M) < 32000
+            fn = _profile_pallas_fn(C, M, params, compact=compact)
+            out = fn(fg_d, qm_d, lens_d)
+            kind = "log"
         except Exception as e:  # pragma: no cover - fallback safety
             import logging
 
             logging.getLogger("sina.align").warning(
                 "pallas profile kernel failed (%s); XLA fallback", e
             )
-    fn = _profile_batched_fn(C, M, params)
-    return _unpack_result(np.asarray(fn(fg_d, qp_d, lens_d)))
+            out = None
+    if out is None:
+        fn = _profile_batched_fn(C, M, params)
+        out = fn(fg_d, qm_d, lens_d)
+    try:
+        out.copy_to_host_async()
+    except AttributeError:  # pragma: no cover - older jax
+        pass
+    return (kind, out, M)
+
+
+def profile_dp_fetch(handle):
+    """Fetch a profile_dp_dispatch result: numpy (emit (B, M),
+    best_c, best_i, raw)."""
+    kind, out, M = handle
+    if kind == "log":
+        return _unpack_log_result(np.asarray(out), M)
+    return _unpack_result(np.asarray(out))
+
+
+def profile_dp_batch(
+    freqs, gapcost, qmask, qlen, c_real, params: DpParams,
+    budget=None,
+):
+    """Synchronous dispatch+fetch convenience wrapper."""
+    return profile_dp_fetch(
+        profile_dp_dispatch(
+            freqs, gapcost, qmask, qlen, c_real, params,
+            budget=budget,
+        )
+    )
 
 
 def profile_sub_costs(profile: Profile, qprof, params: DpParams):

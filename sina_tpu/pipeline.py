@@ -18,7 +18,7 @@ from pathlib import Path
 
 import numpy as np
 
-from .align import AlignerConfig, align_batch
+from .align import AlignerConfig, align_dispatch, align_finalize
 from .famfinder import FamFinder, FamFinderConfig, FamilyResult
 from .io.csv import CsvWriter
 from .io.fasta import FastaWriter, read_fasta
@@ -149,31 +149,42 @@ class Pipeline:
 
     # -- batch processing ---------------------------------------------
 
-    def _process_batch(
-        self, batch: list[Sequence], handle=None
-    ) -> list[tuple[Sequence, Sequence | None, list]]:
+    def _dispatch_batch(self, batch: list[Sequence], handle=None):
+        """Stage A of the per-batch software pipeline: famfinder
+        post-processing, copy path, profile build and DP dispatch.
+        Returns an entry for _finalize_batch; the DP (and its result
+        transfer) is in flight when this returns."""
         cfg = self.cfg
         if cfg.prealigned:
             aligned = [q.copy() for q in batch]
             for a in aligned:
                 a.set_attr("align_quality_slv", 100)
-            families = [[] for _ in batch]
-        else:
-            results: list[FamilyResult] = self.finder.process_batch(
-                batch, handle=handle
-            )
-            # align_batch updates this list in place when the aligner
-            # filters the family (realign / containment)
-            families = [
-                r.family if not r.failed else [] for r in results
-            ]
-            aligned = align_batch(
-                batch,
-                families,
-                cfg.aligner,
-                [r.astats_weights for r in results],
-                [r.astats_name for r in results],
-            )
+            return (batch, [[] for _ in batch], None, aligned)
+        results: list[FamilyResult] = self.finder.process_batch(
+            batch, handle=handle
+        )
+        # align_dispatch updates this list in place when the aligner
+        # filters the family (realign / containment)
+        families = [
+            r.family if not r.failed else [] for r in results
+        ]
+        state = align_dispatch(
+            batch,
+            families,
+            cfg.aligner,
+            [r.astats_weights for r in results],
+            [r.astats_name for r in results],
+        )
+        return (batch, families, state, None)
+
+    def _finalize_batch(
+        self, entry
+    ) -> list[tuple[Sequence, Sequence | None, list]]:
+        """Stage B: fetch DP results, finish alignments (NAST,
+        overhang, attrs), run the search stage."""
+        batch, families, state, aligned = entry
+        if state is not None:
+            aligned = align_finalize(state)
         if self.searcher is not None:
             aligned = self.searcher.process_batch(aligned)
         out = []
@@ -183,6 +194,13 @@ class Pipeline:
                 rel = getattr(a, "search_result", None) or fam
             out.append((q, a, rel))
         return out
+
+    def _process_batch(
+        self, batch: list[Sequence], handle=None
+    ) -> list[tuple[Sequence, Sequence | None, list]]:
+        return self._finalize_batch(
+            self._dispatch_batch(batch, handle)
+        )
 
     def _read_input(self):
         """Yield input sequences: FASTA(.gz) files, or a .sref bundle
@@ -238,9 +256,9 @@ class Pipeline:
         batch: list[Sequence] = []
         progress = Progress("Processing")
 
-        def flush(batch, handle):
+        def flush(entry):
             nonlocal n_aligned, seqno
-            for q, a, rel in self._process_batch(batch, handle):
+            for q, a, rel in self._finalize_batch(entry):
                 seqno += 1
                 self.stats(q, a, rel or [], seqno)
                 rel_seqs = [s for _, s in rel] if rel else []
@@ -253,31 +271,43 @@ class Pipeline:
                     n_aligned += 1
                 progress.update()
 
-        # double buffering: the famfinder scoring for the NEXT batch
-        # is dispatched (async) before the current batch's alignment
-        # and host post-processing, overlapping device and host work
-        pending: list[Sequence] | None = None
-        pending_handle = None
+        # 3-stage software pipeline over batches (the batched analog
+        # of the reference's TBB flow-graph overlap, sina.cpp:452-586):
+        # while batch N's DP runs on device and its result copies
+        # back, the host builds batch N+1's profiles and finishes
+        # batch N-1 — famfinder scoring for N+1 is already queued.
+        from collections import deque
+
+        def submit(b):
+            return (
+                b,
+                None
+                if cfg.prealigned
+                else self.finder.submit_batch(b),
+            )
+
+        ff_q: deque = deque()   # famfinder dispatched
+        al_q: deque = deque()   # DP dispatched
         for seq in self._read_input():
             batch.append(seq)
             n_in += 1
             if len(batch) >= cfg.batch_size:
-                if pending is not None:
-                    flush(pending, pending_handle)
-                pending = batch
-                pending_handle = (
-                    None
-                    if cfg.prealigned
-                    else self.finder.submit_batch(batch)
-                )
+                ff_q.append(submit(batch))
                 batch = []
-        for last in (pending, batch or None):
-            if last:
-                handle = (
-                    pending_handle if last is pending else None
-                )
-                flush(last, handle)
-                pending_handle = None
+                if len(ff_q) >= 2:
+                    al_q.append(
+                        self._dispatch_batch(*ff_q.popleft())
+                    )
+                if len(al_q) >= 2:
+                    flush(al_q.popleft())
+        if batch:
+            ff_q.append(submit(batch))
+        while ff_q:
+            al_q.append(self._dispatch_batch(*ff_q.popleft()))
+            if len(al_q) >= 2:
+                flush(al_q.popleft())
+        while al_q:
+            flush(al_q.popleft())
 
         for _, w in writers:
             w.close()

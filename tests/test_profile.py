@@ -70,13 +70,13 @@ def test_pallas_path_matches_xla_path():
     freqs = rng.random((B, C, 4)).astype(np.float32)
     freqs /= freqs.sum(axis=2, keepdims=True) * 1.25
     gapcost = (rng.random((B, C)) * 2).astype(np.float32)
-    qprof = np.zeros((B, M, 4), dtype=np.float32)
-    for b in range(B):
-        qprof[b, np.arange(M), rng.integers(0, 4, M)] = 1.0
+    qmask = (
+        1 << rng.integers(0, 4, (B, M), dtype=np.uint8)
+    ).astype(np.uint8)
     qlen = np.array([64, 40, 50], np.int32)
     cr = np.array([48, 30, 48], np.int32)
     for b in range(B):
-        qprof[b, qlen[b]:] = 0
+        qmask[b, qlen[b]:] = 0
     params = DpParams()
 
     from sina_tpu.ops.profile import (
@@ -85,9 +85,11 @@ def test_pallas_path_matches_xla_path():
 
     xla = _profile_batched_fn(C, M, params)
     pal = _profile_pallas_fn(C, M, params)
-    fg = np.concatenate([freqs, gapcost[:, :, None]], axis=2)
+    fg = np.concatenate(
+        [freqs, gapcost[:, :, None]], axis=2
+    ).astype(np.float16)
     lens = np.stack([qlen, cr], axis=1).astype(np.int32)
-    args = [jnp.asarray(x) for x in (fg, qprof, lens)]
+    args = [jnp.asarray(x) for x in (fg, qmask, lens)]
     e1, c1, i1, r1 = _unpack_result(np.asarray(xla(*args)))
     e2, c2, i2, r2 = _unpack_log_result(np.asarray(pal(*args)), M)
     np.testing.assert_allclose(r1, r2, rtol=1e-5)
