@@ -89,6 +89,7 @@ class FamFinder:
     def __init__(self, db: ReferenceDb, cfg: FamFinderConfig | None = None):
         self.db = db
         self.cfg = cfg or FamFinderConfig()
+        db.ensure_flat()  # batch profile build gathers flat arrays
         self.index = KmerIndex.build(
             db, k=self.cfg.fs_kmer_len, fast=not self.cfg.fs_no_fast
         )

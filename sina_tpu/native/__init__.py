@@ -73,8 +73,57 @@ def get_lib():
     lib.sina_fasta_has_comments.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.sina_build_profiles.restype = ctypes.c_long
+    lib.sina_build_profiles.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.float32),
+        np.ctypeslib.ndpointer(np.float32),
+        np.ctypeslib.ndpointer(np.float32),
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     _lib = lib
     return _lib
+
+
+def build_profiles(
+    all_pos, all_mask, member_starts, base_counts, fam_sizes,
+    width: int, cpad: int,
+):
+    """Native batched pseq profile construction over a flat base
+    store: each family member's bases live at
+    all_pos/all_mask[member_starts[i] : +base_counts[i]] (no
+    concatenation/gather needed).  Returns (freqs (B,cpad,4) f32,
+    gap_open (B,cpad) f32, gap_ext (B,cpad) f32, cols_flat (B,cpad)
+    i32, c_real (B,) i64) or None when the native library is
+    unavailable or cpad is too small."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(fam_sizes)
+    freqs = np.zeros((B, cpad, 4), np.float32)
+    gapo = np.zeros((B, cpad), np.float32)
+    gape = np.zeros((B, cpad), np.float32)
+    cols_flat = np.zeros((B, cpad), np.int32)
+    c_real = np.zeros(B, np.int64)
+    rc = lib.sina_build_profiles(
+        np.ascontiguousarray(all_pos, np.uint32),
+        np.ascontiguousarray(all_mask, np.uint8),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(base_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        len(base_counts), B, width, cpad,
+        freqs, gapo, gape, cols_flat, c_real,
+    )
+    if rc != 0:
+        return None
+    return freqs, gapo, gape, cols_flat, c_real
 
 
 def parse_fasta_buffer(data: bytes):

@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -130,6 +131,108 @@ long sina_parse_fasta(
         base_offsets[nrec + 1] = nbases;
     }
     return nrec + 1;
+}
+
+// Batched pseq profile construction (pseq.cpp:44-115 semantics;
+// parity-tested against the python build_profile).  Inputs are the
+// concatenated base arrays of every family member in bucket order;
+// outputs are the padded per-family profiles.
+//
+//   all_pos[]          alignment column of each base (flat store)
+//   all_mask[]         IUPAC 4-bit mask of each base (flat store)
+//   member_starts[n_total]  offset of each member's bases
+//   base_counts[n_total]    bases per member
+//   fam_sizes[B]       members per family
+//   freqs[B*cpad*4], gapo_out[B*cpad], gape_out[B*cpad]  (zeroed)
+//   cols_flat[B*cpad]  occupied columns per family
+//   c_real[B]          occupied-column counts
+//
+// Returns 0, or -1 if a family has more occupied columns than cpad.
+long sina_build_profiles(
+    const unsigned int* all_pos, const unsigned char* all_mask,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    long n_total, long B, long width, long cpad,
+    float* freqs, float* gapo_out, float* gape_out,
+    int* cols_flat, long long* c_real) {
+    (void)n_total;
+    // 12 points split over a mask's letters (pseq.cpp:56-63)
+    double wtab[16];
+    for (int m = 0; m < 16; ++m) {
+        int pc = __builtin_popcount((unsigned)m);
+        wtab[m] = 12.0 / (pc > 0 ? pc : 1);
+    }
+    std::vector<double> pts((size_t)width * 4);
+    std::vector<int> colindex(width);
+    std::vector<int> present(cpad), gapo(cpad);
+
+    long seq_cursor = 0;
+    for (long b = 0; b < B; ++b) {
+        long nm = fam_sizes[b];
+        std::fill(pts.begin(), pts.end(), 0.0);
+        for (long m = 0; m < nm; ++m) {
+            long cur = member_starts[seq_cursor + m];
+            long cnt = base_counts[seq_cursor + m];
+            for (long k = 0; k < cnt; ++k, ++cur) {
+                unsigned mask = all_mask[cur] & 0xF;
+                if (!mask) continue;
+                double w = wtab[mask];
+                double* row = &pts[(size_t)all_pos[cur] * 4];
+                if (mask & 1) row[0] += w;
+                if (mask & 2) row[1] += w;
+                if (mask & 4) row[2] += w;
+                if (mask & 8) row[3] += w;
+            }
+        }
+        long C = 0;
+        for (long col = 0; col < width; ++col) {
+            const double* row = &pts[(size_t)col * 4];
+            if (row[0] + row[1] + row[2] + row[3] > 0.0) {
+                if (C >= cpad) return -1;
+                colindex[col] = (int)C;
+                cols_flat[b * cpad + C] = (int)col;
+                ++C;
+            }
+        }
+        c_real[b] = C;
+        std::fill(present.begin(), present.begin() + C, 0);
+        std::fill(gapo.begin(), gapo.begin() + C, 0);
+        // gap transitions per member: absent at column c counts as
+        // OPEN when the member is present at c-1, else EXTEND
+        // (pseq.cpp:71-100; the leading gap flag starts true)
+        for (long m = 0; m < nm; ++m) {
+            long cur = member_starts[seq_cursor + m];
+            long cnt = base_counts[seq_cursor + m];
+            long prev = -2;
+            for (long k = 0; k < cnt; ++k, ++cur) {
+                unsigned mask = all_mask[cur] & 0xF;
+                if (!mask) continue;
+                int ci = colindex[all_pos[cur]];
+                if (prev >= 0 && ci != prev + 1) ++gapo[prev + 1];
+                ++present[ci];
+                prev = ci;
+            }
+            if (prev >= 0 && prev + 1 < C) ++gapo[prev + 1];
+        }
+        for (long c = 0; c < C; ++c) {
+            long col = cols_flat[b * cpad + c];
+            const double* row = &pts[(size_t)col * 4];
+            double go = gapo[c];
+            double ge = (double)(nm - present[c]) - go;
+            double total =
+                row[0] + row[1] + row[2] + row[3] + 12.0 * (go + ge);
+            if (total < 1e-9) total = 1e-9;
+            float* fr = &freqs[((size_t)b * cpad + c) * 4];
+            fr[0] = (float)(row[0] / total);
+            fr[1] = (float)(row[1] / total);
+            fr[2] = (float)(row[2] / total);
+            fr[3] = (float)(row[3] / total);
+            gapo_out[b * cpad + c] = (float)(12.0 * go / total);
+            gape_out[b * cpad + c] = (float)(12.0 * ge / total);
+        }
+        seq_cursor += nm;
+    }
+    return 0;
 }
 
 }  // extern "C"

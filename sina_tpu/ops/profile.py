@@ -103,35 +103,103 @@ def build_profile(family: list[Sequence]) -> Profile:
     )
 
 
+def _gather_family_arrays(seqs: list[Sequence]):
+    """Fast path: when every sequence carries a `_flat_ref` stamp into
+    the same shared flat arrays (ReferenceDb.ensure_flat), gather the
+    concatenated (positions, masks&0xF, lengths) with one fancy index
+    instead of concatenating thousands of small arrays."""
+    refs = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = refs[0]
+    if r0 is None:
+        return None
+    for r, s in zip(refs, seqs):
+        if r is None or r[0] is not r0[0] or r[4] is not s.positions:
+            return None
+    flat_pos, flat_mask = r0[0], r0[1]
+    n = len(seqs)
+    starts = np.fromiter((r[2] for r in refs), np.int64, n)
+    ends = np.fromiter((r[3] for r in refs), np.int64, n)
+    lens = ends - starts
+    total = int(lens.sum())
+    idx = np.arange(total, dtype=np.int64)
+    shift = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=shift[1:])
+    idx += np.repeat(starts - shift, lens)
+    return flat_pos[idx], flat_mask[idx], lens
+
+
 def build_profiles_batch(
     families: list[list[Sequence]], cpad: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
     """Batched build_profile over many families at once (single
     bincount/segment passes across the whole bucket instead of
-    per-family numpy calls).
+    per-family numpy calls).  Gap open/extend counts are computed
+    event-wise (per base: is the next occupied column of this member
+    adjacent?) so no members×columns presence matrix is ever built.
 
     Returns (freqs (B, cpad, 4) f32, gap_open (B, cpad) f32,
     gap_ext (B, cpad) f32, cols: per-family occupied column arrays).
     Semantics identical to build_profile (parity-tested)."""
+    from .. import native
+
     B = len(families)
     width = families[0][0].width
     fam_sizes = np.array([len(f) for f in families], dtype=np.int64)
     seqs = [s for f in families for s in f]
     n_total = len(seqs)
-    base_counts = np.array(
-        [len(s.positions) for s in seqs], dtype=np.int64
+
+    def _unpack_native(nat):
+        freqs, gapo_out, gape_out, cols_flat, c_real = nat
+        cols_list = [
+            cols_flat[b, : int(c_real[b])] for b in range(B)
+        ]
+        return freqs, gapo_out, gape_out, cols_list
+
+    # fastest path: C++ builder reading straight out of the shared
+    # flat base store (_flat_ref stamps from ReferenceDb.ensure_flat)
+    # — zero concatenation or gathering on the Python side
+    refs = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = refs[0] if refs else None
+    if r0 is not None and all(
+        r is not None and r[0] is r0[0] and r[4] is s.positions
+        for r, s in zip(refs, seqs)
+    ):
+        starts = np.fromiter((r[2] for r in refs), np.int64, n_total)
+        ends = np.fromiter((r[3] for r in refs), np.int64, n_total)
+        nat = native.build_profiles(
+            r0[0], r0[1], starts, ends - starts, fam_sizes,
+            width, cpad,
+        )
+        if nat is not None:
+            return _unpack_native(nat)
+
+    fast = _gather_family_arrays(seqs) if seqs else None
+    if fast is not None:
+        all_pos, all_mask, base_counts = fast
+    else:
+        base_counts = np.array(
+            [len(s.positions) for s in seqs], dtype=np.int64
+        )
+        all_pos = (
+            np.concatenate([s.positions for s in seqs])
+            if seqs
+            else np.zeros(0, np.int64)
+        ).astype(np.int64)
+        all_mask = (
+            np.concatenate([s.masks for s in seqs])
+            if seqs
+            else np.zeros(0, np.uint8)
+        ) & 0xF
+    starts = np.zeros(n_total, dtype=np.int64)
+    np.cumsum(base_counts[:-1], out=starts[1:])
+    nat = native.build_profiles(
+        all_pos, all_mask, starts, base_counts, fam_sizes,
+        width, cpad,
     )
+    if nat is not None:
+        return _unpack_native(nat)
+
     fam_of_seq = np.repeat(np.arange(B), fam_sizes)
-    all_pos = (
-        np.concatenate([s.positions for s in seqs])
-        if seqs
-        else np.zeros(0, np.int64)
-    ).astype(np.int64)
-    all_mask = (
-        np.concatenate([s.masks for s in seqs])
-        if seqs
-        else np.zeros(0, np.uint8)
-    ) & 0xF
     seq_of_base = np.repeat(np.arange(n_total), base_counts)
     fam_of_base = fam_of_seq[seq_of_base]
     gpos = fam_of_base * width + all_pos  # globalised columns
@@ -156,26 +224,38 @@ def build_profiles_batch(
         col_index[b, cols] = np.arange(len(cols))
         c_real[b] = len(cols)
 
-    # presence matrix over (member, padded column)
-    pres = np.zeros((n_total, cpad), dtype=bool)
-    pres[seq_of_base, col_index[fam_of_base, all_pos]] = True
-    prev = np.zeros_like(pres)
-    prev[:, 1:] = pres[:, :-1]
-    opens = (~pres) & prev
-    exts = (~pres) & ~prev
-    # mask out columns beyond each family's real C
+    # per-member presence/transition counts, bincount-style
+    # (pseq.cpp:71-100 semantics: absent at col c = gap-open if the
+    # member is present at col c-1, else gap-extend)
+    ci = col_index[fam_of_base, all_pos]        # occupied-col index
+    nb = len(ci)
+    present = np.bincount(
+        fam_of_base * cpad + ci, minlength=B * cpad
+    ).reshape(B, cpad)
+    # a gap OPENS at ci+1 whenever this member's next base is not at
+    # the adjacent occupied column (or this is its last base)
+    nxt = np.empty(nb, dtype=np.int64)
+    if nb:
+        nxt[:-1] = ci[1:]
+        nxt[-1] = -2
+    same = np.zeros(nb, dtype=bool)
+    if nb > 1:
+        same[:-1] = seq_of_base[1:] == seq_of_base[:-1]
+    event = (ci + 1 < c_real[fam_of_base]) & (
+        ~same | (nxt != ci + 1)
+    )
+    gapo = (
+        np.bincount(
+            fam_of_base[event] * cpad + ci[event] + 1,
+            minlength=B * cpad,
+        )
+        .reshape(B, cpad)
+        .astype(np.float64)
+    )
     colid = np.arange(cpad)[None, :]
-    valid = colid < c_real[fam_of_seq][:, None]
-    opens &= valid
-    exts &= valid
-    fam_starts = np.zeros(B, dtype=np.int64)
-    np.cumsum(fam_sizes[:-1], out=fam_starts[1:])
-    gapo = np.add.reduceat(
-        opens.astype(np.float64), fam_starts, axis=0
-    )
-    gape = np.add.reduceat(
-        exts.astype(np.float64), fam_starts, axis=0
-    )
+    valid = colid < c_real[:, None]
+    absent = np.where(valid, fam_sizes[:, None] - present, 0)
+    gape = absent - gapo
 
     freqs = np.zeros((B, cpad, 4), dtype=np.float32)
     gapo_out = np.zeros((B, cpad), dtype=np.float32)

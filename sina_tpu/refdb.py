@@ -66,6 +66,42 @@ class ReferenceDb:
     def get(self, name: str) -> Sequence:
         return self.sequences[self.index_of(name)]
 
+    def ensure_flat(self) -> None:
+        """Stamp every sequence with a `_flat_ref` view into shared
+        flat position/mask arrays so batch consumers (profile build)
+        gather one big array instead of concatenating thousands of
+        small ones.  The stamp carries the positions array object at
+        stamp time; consumers verify identity before trusting it."""
+        if getattr(self, "_flat_stamped", False):
+            return
+        n = len(self.sequences)
+        lengths = np.array(
+            [len(s) for s in self.sequences], dtype=np.int64
+        )
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        flat_pos = (
+            np.concatenate(
+                [s.positions for s in self.sequences]
+            ).astype(np.uint32)
+            if n
+            else np.zeros(0, np.uint32)
+        )
+        flat_mask4 = (
+            np.concatenate([s.masks for s in self.sequences]) & 0xF
+            if n
+            else np.zeros(0, np.uint8)
+        )
+        for i, s in enumerate(self.sequences):
+            s._flat_ref = (
+                flat_pos,
+                flat_mask4,
+                int(offsets[i]),
+                int(offsets[i + 1]),
+                s.positions,
+            )
+        self._flat_stamped = True
+
     # -- persistence --------------------------------------------------
 
     def save(self, path) -> None:
