@@ -69,6 +69,10 @@ class AlignerConfig:
     calc_idty: bool = False
     write_used_rels: bool = False
     fs_no_graph: bool = False
+    # experimental substitution-matrix scoring (align.cpp:265-267,
+    # scoring_schemes.h:244-311); only meaningful for the graph
+    # engine (the reference ignores it under --fs-no-graph)
+    use_subst_matrix: bool = False
     # "profile" (pseq chain DP, the TPU-native default), "graph"
     # (mseq DAG DP, the reference's default), or "auto" (= profile)
     engine: str = "auto"
@@ -76,6 +80,8 @@ class AlignerConfig:
     def resolved_engine(self) -> str:
         if self.fs_no_graph:
             return "profile"
+        if self.use_subst_matrix:
+            return "graph"
         if self.engine == "auto":
             return "profile"
         return self.engine
@@ -224,6 +230,7 @@ def align_dispatch(
         if not family:
             continue
         refs = [it[1] for it in family]
+        top_score = family[0][0]  # dist for the subst-matrix scheme
         _t = get_timer("Aligner")
         if engine == "graph":
             with _t.section("build graph"):
@@ -249,12 +256,15 @@ def align_dispatch(
         q = query.copy()
         if cfg.lowercase != LOWERCASE_ORIGINAL:
             q.upper_case_all()
-        todo.append((idx, q, template, cw, refs, log, n_shape))
+        todo.append(
+            (idx, q, template, cw, refs, log, n_shape, top_score)
+        )
 
     # group into shape buckets
     buckets: dict[tuple[int, int], list] = {}
     for item in todo:
-        _, q, _, _, _, _, n_shape = item
+        n_shape = item[6]
+        q = item[1]
         key = (
             _bucket(n_shape, node_bucket),
             _bucket(len(q.masks), query_bucket),
@@ -322,7 +332,7 @@ def _dispatch_graph_bucket(
     ql = np.zeros(len(items), dtype=np.int32)
     nr = np.zeros(len(items), dtype=np.int32)
     for b, it in enumerate(items):
-        _, q, graph, cw, _, _, _ = it
+        _, q, graph, cw = it[:4]
         qm[b, : len(q.masks)] = q.masks
         ql[b] = len(q.masks)
         nr[b] = graph.n_nodes
@@ -332,22 +342,55 @@ def _dispatch_graph_bucket(
         max_ins = jnp.asarray(
             np.stack([g.max_insert for g in g_list])
         )
-    out = ak.poa_dp_batch(
-        jnp.asarray(np.stack([g.pos for g in g_list])),
-        jnp.asarray(
-            np.stack([g.mask.astype(np.int32) for g in g_list])
-        ),
-        jnp.asarray(np.stack([g.weight for g in g_list])),
-        jnp.asarray(np.stack([g.preds for g in g_list])),
-        jnp.asarray(np.stack([g.is_start for g in g_list])),
-        jnp.asarray(np.stack([g.is_end for g in g_list])),
-        jnp.asarray(qm),
-        jnp.asarray(ql),
-        jnp.asarray(nr),
-        jnp.asarray(cw_pad),
-        params,
-        max_insert=max_ins,
-    )
+    if cfg.use_subst_matrix:
+        # experimental matrix scheme: per-family log-odds matrix from
+        # family base frequencies at the family's top identity
+        # (align.cpp:417-427; the reference's own matrix generator is
+        # disabled upstream — see stats.subst_matrix)
+        from .stats import family_base_freqs, subst_matrix
+
+        subst = np.stack(
+            [
+                subst_matrix(
+                    family_base_freqs(it[4]), float(it[7])
+                )
+                for it in items
+            ]
+        )
+        for it in items:
+            it[5].append(f"using dist: {float(it[7]):.6g};")
+        out = ak.poa_dp_subst_batch(
+            jnp.asarray(np.stack([g.pos for g in g_list])),
+            jnp.asarray(
+                np.stack([g.mask.astype(np.int32) for g in g_list])
+            ),
+            jnp.asarray(np.stack([g.preds for g in g_list])),
+            jnp.asarray(np.stack([g.is_start for g in g_list])),
+            jnp.asarray(np.stack([g.is_end for g in g_list])),
+            jnp.asarray(qm),
+            jnp.asarray(ql),
+            jnp.asarray(nr),
+            jnp.asarray(cw_pad),
+            jnp.asarray(subst),
+            params,
+        )
+    else:
+        out = ak.poa_dp_batch(
+            jnp.asarray(np.stack([g.pos for g in g_list])),
+            jnp.asarray(
+                np.stack([g.mask.astype(np.int32) for g in g_list])
+            ),
+            jnp.asarray(np.stack([g.weight for g in g_list])),
+            jnp.asarray(np.stack([g.preds for g in g_list])),
+            jnp.asarray(np.stack([g.is_start for g in g_list])),
+            jnp.asarray(np.stack([g.is_end for g in g_list])),
+            jnp.asarray(qm),
+            jnp.asarray(ql),
+            jnp.asarray(nr),
+            jnp.asarray(cw_pad),
+            params,
+            max_insert=max_ins,
+        )
     for arr in out:
         try:
             arr.copy_to_host_async()
@@ -357,7 +400,7 @@ def _dispatch_graph_bucket(
     def finalize():
         emit, bj, bi, raw = (np.asarray(a) for a in out)
         for b, it in enumerate(items):
-            idx, q, graph, cw, refs, log, _ = it
+            idx, q, graph, cw, refs, log = it[:6]
             eidx = np.nonzero(emit[b] >= 0)[0]
             head = int(eidx[0]) if len(eidx) else 0
             pairs = (emit[b][eidx], eidx)
@@ -396,7 +439,7 @@ def _dispatch_profile_bucket(
     cr = np.zeros(B, dtype=np.int32)
     budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
     for b, it in enumerate(items):
-        _, q, _, _, _, _, _ = it
+        q = it[1]
         cols = cols_list[b]
         C = len(cols)
         qmask[b, : len(q.masks)] = q.masks
@@ -418,7 +461,7 @@ def _dispatch_profile_bucket(
         with t.section("profile dp fetch"):
             emit, bc, bi, raw = profile_dp_fetch(handle)
         for b, it in enumerate(items):
-            idx, q, _, cw, refs, log, _ = it
+            idx, q, _, cw, refs, log = it[:6]
             eidx = np.nonzero(emit[b] >= 0)[0]
             head = int(eidx[0]) if len(eidx) else 0
             pairs = (emit[b][eidx], eidx)

@@ -120,6 +120,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pen-gapext", type=float, default=2.0)
     g.add_argument("--write-used-rels", action="store_true")
     g.add_argument("--calc-idty", action="store_true")
+    g.add_argument("--use-subst-matrix", action="store_true",
+                   help="use experimental scoring system (slow)"
+                   " (graph engine only, as in the reference)")
 
     g = p.add_argument_group("Reference Selection")
     g.add_argument("--fs-engine", default="internal",
@@ -262,6 +265,7 @@ def config_from_args(args) -> PipelineConfig:
         calc_idty=args.calc_idty,
         write_used_rels=args.write_used_rels,
         fs_no_graph=args.fs_no_graph,
+        use_subst_matrix=args.use_subst_matrix,
         engine="graph" if args.fs_graph else "auto",
     )
     srch = SearchConfig(

@@ -121,6 +121,65 @@ def poa_dp_forbid(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "m_len", "params")
+)
+def poa_dp_subst(
+    node_pos, node_mask, preds, is_start, is_end,
+    qmask, qlen, n_real, col_weights, subst,
+    n_nodes: int, m_len: int, params: DpParams,
+):
+    """Graph-mode DP under the experimental substitution-matrix
+    scheme (scoring_scheme_matrix, scoring_schemes.h:244-311): match
+    cost is the mean of subst[l, r] over the IUPAC letter pairs
+    (aligned_base.h:176-215) times the column weight; gap costs are
+    gp/gpe times the column weight; node weights are NOT applied."""
+    N, M = n_nodes, m_len
+    go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
+    wcol = col_weights[node_pos]
+    bits_n = jnp.stack(
+        [(node_mask >> s) & 1 for s in range(4)], axis=1
+    ).astype(jnp.float32)                              # (N, 4)
+    bits_q = jnp.stack(
+        [(qmask >> s) & 1 for s in range(4)], axis=1
+    ).astype(jnp.float32)                              # (M, 4)
+    numer = bits_n @ subst @ bits_q.T                  # (N, M) MXU
+    denom = jnp.maximum(
+        bits_n.sum(1)[:, None] * bits_q.sum(1)[None, :], 1.0
+    )
+    sub = (numer / denom) * wcol[:, None]
+    return poa_dp_costs(
+        sub, go * wcol, ge * wcol, go * wcol, ge * wcol,
+        preds, is_start, is_end, qlen, n_real,
+        n_nodes=N, m_len=M,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_subst_fn(n_nodes: int, m_len: int, params: DpParams):
+    def core(pos, mask, preds, st, en, qm, ql, nr, cw, subst):
+        bp, bj, bi, raw = poa_dp_subst(
+            pos, mask, preds, st, en, qm, ql, nr, cw, subst,
+            n_nodes=n_nodes, m_len=m_len, params=params,
+        )
+        emit = traceback_device(bp, bj, bi, preds, st, n_nodes, m_len)
+        return emit, bj, bi, raw
+
+    return jax.jit(jax.vmap(core))
+
+
+def poa_dp_subst_batch(
+    pos, mask, preds, is_start, is_end,
+    qmask, qlen, n_real, col_weights, subst, params: DpParams,
+):
+    """Batched substitution-matrix DP; `subst` is (B, 4, 4)."""
+    fn = _batched_subst_fn(pos.shape[1], qmask.shape[1], params)
+    return fn(
+        pos, mask, preds, is_start, is_end,
+        qmask, qlen, n_real, col_weights, subst,
+    )
+
+
 def _windowed_min(W, R, M: int):
     """min over the trailing window [i-R+1, i] of W, per i, with a
     traced row-constant window length R (sparse-table doubling,

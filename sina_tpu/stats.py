@@ -37,6 +37,42 @@ def compute_weights(astat: dict) -> np.ndarray:
     return np.where(covered, w, 1.0).astype(np.float32)
 
 
+def family_base_freqs(seqs) -> np.ndarray:
+    """Global base frequencies (A, G, C, U) over a set of sequences;
+    ambiguity codes split their count over their letters."""
+    counts = np.zeros(4, dtype=np.float64)
+    for s in seqs:
+        m = s.masks & 0xF
+        amb = alphabet.AMBIG_ORDER[m].astype(np.float64)
+        w = 1.0 / np.maximum(amb, 1)
+        for b in range(4):
+            counts[b] += w[(m & (1 << b)) != 0].sum()
+    total = counts.sum()
+    if total <= 0:
+        return np.full(4, 0.25)
+    return counts / total
+
+
+def subst_matrix(
+    base_freqs: np.ndarray, identity: float
+) -> np.ndarray:
+    """Log-odds substitution cost matrix (4x4, order A G C U) for the
+    experimental --use-subst-matrix scheme.
+
+    The reference's generator is disabled (`#if 0`,
+    alignment_stats.cpp:139-160) and returns an uninitialized matrix;
+    this implements the formula that code documents:
+    m[i,j] = -log(p / (f_i * f_j)) with p = identity/4 on the
+    diagonal and (1-identity)/12 off it, so matches score negative
+    (reward) and mismatches positive (penalty) in the min-cost DP."""
+    f = np.asarray(base_freqs, dtype=np.float64)
+    f = np.maximum(f, 1e-4)
+    ident = float(np.clip(identity, 1e-3, 1.0 - 1e-3))
+    p = np.full((4, 4), (1.0 - ident) / 12.0)
+    np.fill_diagonal(p, ident / 4.0)
+    return (-np.log(p / np.outer(f, f))).astype(np.float32)
+
+
 def estimate_astats(db, name: str = "auto:all") -> dict:
     """Build approximate column stats from the bundle's own MSA."""
     width = db.width
