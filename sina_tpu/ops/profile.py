@@ -405,6 +405,45 @@ def chain_dp(sub, del_open, del_ext, go, ge, qlen, c_real,
     return bp, best_c, best_i, raw
 
 
+def _gap_scale(params: DpParams) -> float:
+    """Static fixed-point scale for the int16 gap-cost transfer:
+    gapcost = go*open_frac + ge*ext_frac <= go + ge, so this maps the
+    full range into +/-32000 exactly the same way on host and
+    device."""
+    return 32000.0 / max(params.gap_open + params.gap_ext, 1.0)
+
+
+def _pack_fgq(freqs, gapcost, params: DpParams) -> np.ndarray:
+    """Quantised profile transfer: (B, C, 6) uint8 = 4 bytes of
+    freqs (x255 fixed point) + 2 bytes of gap cost (int16 fixed
+    point).  40% fewer host->device bytes than f16 at negligible
+    cost noise (<0.5% of a match score)."""
+    B, C = gapcost.shape
+    fgq = np.empty((B, C, 6), dtype=np.uint8)
+    np.rint(
+        np.asarray(freqs) * 255.0, out=fgq[:, :, :4],
+        casting="unsafe",
+    )
+    gi = np.rint(
+        np.asarray(gapcost) * _gap_scale(params)
+    ).astype(np.int16)
+    fgq[:, :, 4:6] = gi.view(np.uint8).reshape(B, C, 2)
+    return fgq
+
+
+def _device_unpack_fgq(fgq, params: DpParams):
+    """Invert _pack_fgq on device: (freqs (B,C,4) f32, gapcost (B,C)
+    f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    fq = fgq[:, :, :4].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    gc = jax.lax.bitcast_convert_type(
+        fgq[:, :, 4:6], jnp.int16
+    ).astype(jnp.float32) * jnp.float32(1.0 / _gap_scale(params))
+    return fq, gc
+
+
 def _device_qprof(qmask):
     """(…, M) int mask → (…, M, 4) f32 query profile on device;
     matches query_profile_weights (pseq.h:66-86) but is pure
@@ -461,10 +500,10 @@ def _profile_batched_fn(
     if aspace:
         vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0))
 
-        def packed(fg, qmask, lens, budget):
-            fg = fg.astype(jnp.float32)
+        def packed(fgq, qmask, lens, budget):
+            fq, gc = _device_unpack_fgq(fgq, params)
             out = vm(
-                fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
+                fq, gc, _device_qprof(qmask),
                 lens[:, 0], lens[:, 1], budget,
             )
             return _pack_result(*out)
@@ -472,10 +511,10 @@ def _profile_batched_fn(
         return jax.jit(packed)
     vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0))
 
-    def packed(fg, qmask, lens):
-        fg = fg.astype(jnp.float32)
+    def packed(fgq, qmask, lens):
+        fq, gc = _device_unpack_fgq(fgq, params)
         out = vm(
-            fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
+            fq, gc, _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
         )
         return _pack_result(*out)
@@ -580,7 +619,7 @@ def _profile_pallas_fn(
         log = jax.vmap(
             lambda b, c, i: chain_traceback_log(b, c, i, C, M),
             in_axes=(1, 0, 0),
-        )(bp, bc, bi)                      # (B, L, 2)
+        )(bp, bc, bi)                      # (B, L) column-only log
         # ship the raw log; the scatter to per-base emission happens
         # on host (a device scatter compiled for minutes on the
         # tunnelled backend)
@@ -596,17 +635,17 @@ def _profile_pallas_fn(
             axis=1,
         )
         if compact:
-            log16 = log.astype(jnp.int16).reshape(B, -1)
+            log16 = log.astype(jnp.int16)
             aux16 = jax.lax.bitcast_convert_type(
                 aux, jnp.int16
             ).reshape(B, -1)
             return jnp.concatenate([log16, aux16], axis=1)
-        return jnp.concatenate([log.reshape(B, -1), aux], axis=1)
+        return jnp.concatenate([log, aux], axis=1)
 
-    def packed(fg, qmask, lens):
-        fg = fg.astype(jnp.float32)
+    def packed(fgq, qmask, lens):
+        fq, gc = _device_unpack_fgq(fgq, params)
         return fn(
-            fg[:, :, :4], fg[:, :, 4], _device_qprof(qmask),
+            fq, gc, _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
         )
 
@@ -614,25 +653,29 @@ def _profile_pallas_fn(
 
 
 def _unpack_log_result(packed: np.ndarray, m_len: int):
-    """Convert the packed log result to (emit, bc, bi, raw).  Accepts
-    the int32 layout (B, 2L+3) or the compact int16 layout (B, 2L+6)
-    where the three aux words are bitcast int32 halves."""
+    """Convert the packed column-only log to (emit, bc, bi, raw).
+    Accepts the int32 layout (B, L+3) or the compact int16 layout
+    (B, L+6) where the three aux words are bitcast int32 halves.
+    The k-th logged emission (in step order) consumed slave base
+    best_i - k (see chain_traceback_log)."""
     B = packed.shape[0]
     if packed.dtype == np.int16:
         aux = np.ascontiguousarray(packed[:, -6:]).view(np.int32)
-        log = packed[:, :-6].astype(np.int32).reshape(B, -1, 2)
+        log = packed[:, :-6].astype(np.int32)
     else:
         aux = packed[:, -3:]
-        log = packed[:, :-3].reshape(B, -1, 2)
+        log = packed[:, :-3]
+    bi = aux[:, 1]
     emit = np.full((B, m_len), -1, dtype=np.int32)
-    bidx, step = np.nonzero(log[:, :, 0] >= 0)
-    ei = log[bidx, step, 0]
-    ej = log[bidx, step, 1]
-    emit[bidx, ei] = ej
+    mask = log >= 0
+    ordinal = np.cumsum(mask, axis=1) - 1
+    bidx, step = np.nonzero(mask)
+    ei = bi[bidx] - ordinal[bidx, step]
+    emit[bidx, ei] = log[bidx, step]
     return (
         emit,
         aux[:, 0],
-        aux[:, 1],
+        bi,
         aux[:, 2].copy().view(np.float32),
     )
 
@@ -643,9 +686,10 @@ def profile_dp_dispatch(
 ):
     """Dispatch the batched profile DP WITHOUT fetching: freqs
     (B, C, 4), gapcost (B, C), qmask (B, M) uint8 IUPAC masks, qlen
-    (B,), c_real (B,) as NUMPY arrays.  The profile ships as f16 and
-    the query as raw masks (the device rebuilds the f32 query profile
-    elementwise), and the device→host result starts copying back
+    (B,), c_real (B,) as NUMPY arrays.  The profile ships quantised
+    (_pack_fgq: 6 bytes/column) and the query as raw masks (the
+    device rebuilds the f32 query profile elementwise), and the
+    device→host result starts copying back
     asynchronously — callers overlap the in-flight work with host
     post-processing and fetch via profile_dp_fetch.  `budget` (B, C)
     enables the aspace-aware bounded-insertion mode
@@ -653,41 +697,48 @@ def profile_dp_dispatch(
     import jax
     import jax.numpy as jnp
 
+    from ..timing import get_timer
+
+    t = get_timer("ProfileDP")
     C, M = freqs.shape[1], qmask.shape[1]
-    fg = np.concatenate(
-        [np.asarray(freqs), np.asarray(gapcost)[:, :, None]], axis=2
-    ).astype(np.float16)
-    lens = np.stack(
-        [np.asarray(qlen), np.asarray(c_real)], axis=1
-    ).astype(np.int32)
-    fg_d = jnp.asarray(fg)
-    qm_d = jnp.asarray(np.asarray(qmask, dtype=np.uint8))
-    lens_d = jnp.asarray(lens)
+    with t.section("pack fgq"):
+        fg = _pack_fgq(freqs, gapcost, params)
+        lens = np.stack(
+            [np.asarray(qlen), np.asarray(c_real)], axis=1
+        ).astype(np.int32)
+    with t.section("h2d"):
+        fg_d = jnp.asarray(fg)
+        qm_d = jnp.asarray(np.asarray(qmask, dtype=np.uint8))
+        lens_d = jnp.asarray(lens)
     kind = "xla"
     out = None
-    if budget is not None:
-        fn = _profile_batched_fn(C, M, params, aspace=True)
-        out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget))
-    elif jax.default_backend() in ("tpu", "axon"):
-        try:
-            compact = max(C, M) < 32000
-            fn = _profile_pallas_fn(C, M, params, compact=compact)
-            out = fn(fg_d, qm_d, lens_d)
-            kind = "log"
-        except Exception as e:  # pragma: no cover - fallback safety
-            import logging
+    with t.section("launch"):
+        if budget is not None:
+            fn = _profile_batched_fn(C, M, params, aspace=True)
+            out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget))
+        elif jax.default_backend() in ("tpu", "axon"):
+            try:
+                compact = max(C, M) < 32000
+                fn = _profile_pallas_fn(
+                    C, M, params, compact=compact
+                )
+                out = fn(fg_d, qm_d, lens_d)
+                kind = "log"
+            except Exception as e:  # pragma: no cover - fallback
+                import logging
 
-            logging.getLogger("sina.align").warning(
-                "pallas profile kernel failed (%s); XLA fallback", e
-            )
-            out = None
-    if out is None:
-        fn = _profile_batched_fn(C, M, params)
-        out = fn(fg_d, qm_d, lens_d)
-    try:
-        out.copy_to_host_async()
-    except AttributeError:  # pragma: no cover - older jax
-        pass
+                logging.getLogger("sina.align").warning(
+                    "pallas profile kernel failed (%s); XLA fallback",
+                    e,
+                )
+                out = None
+        if out is None:
+            fn = _profile_batched_fn(C, M, params)
+            out = fn(fg_d, qm_d, lens_d)
+        try:
+            out.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax
+            pass
     return (kind, out, M)
 
 

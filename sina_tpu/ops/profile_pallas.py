@@ -195,8 +195,14 @@ def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
     whose induction variable indexes the emission log, so under vmap
     every lane writes the same log slot per step (a uniform
     dynamic_update_slice instead of a batched scatter).  Returns
-    log (L, 2) int32 rows of (slave_i, column_j), -1 rows idle;
-    emissions appear in decreasing slave order."""
+    log (L,) int32 of the emitting column j (-1 = idle step).
+
+    The emitted slave index is NOT logged: emissions consume slave
+    bases in strictly consecutive decreasing order from best_i (every
+    base in [head, best_i] is consumed exactly once — matches emit on
+    _S_RESOLVE, insertions per base in _S_INS), so the host
+    reconstructs slave_i = best_i - (emission ordinal).  Halves the
+    device→host bytes."""
     L = c_cols + 2 * m_len + 8
 
     def body(step, carry):
@@ -263,11 +269,11 @@ def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
             ],
             None,
         )
-        row = jnp.stack([ei, jnp.where(ei >= 0, ej, -1)])
-        log = jax.lax.dynamic_update_slice(log, row[None], (step, 0))
+        row = jnp.where(ei >= 0, ej, -1).reshape(1)
+        log = jax.lax.dynamic_update_slice(log, row, (step,))
         return nj, ni, ns, log
 
-    log0 = jnp.full((L, 2), -1, dtype=jnp.int32)
+    log0 = jnp.full((L,), -1, dtype=jnp.int32)
     j, i, state, log = jax.lax.fori_loop(
         0,
         L,

@@ -80,14 +80,12 @@ def test_pallas_path_matches_xla_path():
     params = DpParams()
 
     from sina_tpu.ops.profile import (
-        _unpack_result, _unpack_log_result,
+        _unpack_result, _unpack_log_result, _pack_fgq,
     )
 
     xla = _profile_batched_fn(C, M, params)
     pal = _profile_pallas_fn(C, M, params)
-    fg = np.concatenate(
-        [freqs, gapcost[:, :, None]], axis=2
-    ).astype(np.float16)
+    fg = _pack_fgq(freqs, gapcost, params)
     lens = np.stack([qlen, cr], axis=1).astype(np.int32)
     args = [jnp.asarray(x) for x in (fg, qmask, lens)]
     e1, c1, i1, r1 = _unpack_result(np.asarray(xla(*args)))
