@@ -73,6 +73,9 @@ class AlignerConfig:
     # scoring_schemes.h:244-311); only meaningful for the graph
     # engine (the reference ignores it under --fs-no-graph)
     use_subst_matrix: bool = False
+    # dump each family graph to a .dot file (--debug-graph; the
+    # reference's mesh_debug SVG equivalent, mesh_debug.h)
+    debug_graph: bool = False
     # "profile" (pseq chain DP, the TPU-native default), "graph"
     # (mseq DAG DP, the reference's default), or "auto" (= profile)
     engine: str = "auto"
@@ -235,6 +238,13 @@ def align_dispatch(
         if engine == "graph":
             with _t.section("build graph"):
                 template = build_graph(refs, cfg.fs_weight)
+            if cfg.debug_graph:
+                from .ops.graph import graph_to_dot
+
+                fname = f"sina_graph_{query.name or idx}.dot"
+                with open(fname, "w") as fh:
+                    fh.write(graph_to_dot(template))
+                logger.info("wrote %s", fname)
             cw = np.ones(template.width + 2, dtype=np.float32)
             if col_weights_list[idx] is not None:
                 w = col_weights_list[idx]

@@ -33,8 +33,10 @@ def detect_type(path: str, explicit: str = "auto") -> str:
     suffixes = p.suffixes
     if p.suffix == ".arb":
         return "arb"
-    if p.suffix == ".csv" or (
-        p.suffix == ".gz" and len(suffixes) > 1 and suffixes[-2] == ".csv"
+    if p.suffix in (".csv", ".tsv") or (
+        p.suffix == ".gz"
+        and len(suffixes) > 1
+        and suffixes[-2] in (".csv", ".tsv")
     ):
         return "csv"
     return "fasta"
@@ -50,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--version", "-V", action="version",
                    version=f"sina-tpu {__version__}")
+    p.add_argument("--help-all", action="help",
+                   help="show help for all options (the reference "
+                   "hides advanced options behind this; here they "
+                   "are one listing)")
+    p.add_argument("--has-cli-vers", default=None, metavar="VERS",
+                   help="verify support of cli version")
     p.add_argument("-i", "--in", dest="in_path", default="-",
                    help="input file (fasta[.gz])")
     p.add_argument("-o", "--out", dest="out", action="append",
@@ -91,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
                    "this directory (view with tensorboard/xprof)")
     p.add_argument("--show-dist", action="store_true")
     p.add_argument("--show-diff", action="store_true")
+    p.add_argument("--colors", action="store_true",
+                   help="distinguish printed bases using colors")
     p.add_argument("--orig-db", default="")
     p.add_argument("--select-step", type=int, default=1,
                    help="read every Nth input sequence")
@@ -123,10 +133,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--use-subst-matrix", action="store_true",
                    help="use experimental scoring system (slow)"
                    " (graph engine only, as in the reference)")
+    g.add_argument("--debug-graph", action="store_true",
+                   help="dump reference graphs to .dot files "
+                   "(graph engine)")
 
     g = p.add_argument_group("Reference Selection")
     g.add_argument("--fs-engine", default="internal",
                    choices=["internal", "pt-server"])
+    g.add_argument("--ptdb", default="",
+                   help="(compatibility; PT server not used)")
+    g.add_argument("--ptport", default="",
+                   help="(compatibility; PT server not used)")
     g.add_argument("--fs-kmer-len", type=int, default=10)
     g.add_argument("--fs-req", type=int, default=1)
     g.add_argument("--fs-min", type=int, default=40)
@@ -164,6 +181,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--search-no-fast", action="store_true")
     g.add_argument("--search-kmer-candidates", type=int, default=1000)
     g.add_argument("--search-kmer-len", type=int, default=10)
+    g.add_argument("--search-kmer-mm", type=int, default=0,
+                   help="(compatibility; pt-server only in the "
+                   "reference)")
+    g.add_argument("--search-kmer-norel", action="store_true",
+                   help="(compatibility; pt-server only in the "
+                   "reference)")
+    g.add_argument("--search-port", default="",
+                   help="(compatibility; PT server not used)")
     g.add_argument("--search-ignore-super", action="store_true")
     g.add_argument("--search-copy-fields", default="")
     g.add_argument("--lca-fields", default="")
@@ -189,6 +214,20 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("CSV I/O")
     g.add_argument("--csv-crlf", action="store_true")
     g.add_argument("--csv-id", default="name")
+    g.add_argument("--csv-sep", default="",
+                   help="overrides field separator; default ',' or "
+                   "TAB if the output file ends in .tsv")
+
+    g = p.add_argument_group("ARB I/O (compatibility)")
+    g.add_argument("--arb-list-fields", action="store_true",
+                   help="list metadata fields of the reference "
+                   "bundle and exit")
+    g.add_argument("--markaligned", action="store_true",
+                   help="(compatibility; ARB output unsupported)")
+    g.add_argument("--markcopied", action="store_true",
+                   help="(compatibility; ARB output unsupported)")
+    g.add_argument("--prot-level", type=int, default=4,
+                   help="(compatibility; ARB output unsupported)")
     return p
 
 
@@ -266,6 +305,7 @@ def config_from_args(args) -> PipelineConfig:
         write_used_rels=args.write_used_rels,
         fs_no_graph=args.fs_no_graph,
         use_subst_matrix=args.use_subst_matrix,
+        debug_graph=args.debug_graph,
         engine="graph" if args.fs_graph else "auto",
     )
     srch = SearchConfig(
@@ -309,6 +349,8 @@ def config_from_args(args) -> PipelineConfig:
         fasta_idx=args.fasta_idx,
         csv_crlf=args.csv_crlf,
         csv_id=args.csv_id,
+        csv_sep=args.csv_sep,
+        colors=args.colors,
         select_step=args.select_step,
         select_skip=args.select_skip,
         select_file=args.select_file,
@@ -331,9 +373,41 @@ def setup_logging(verbose: int, quiet: int, log_file: str = "") -> None:
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
+    if args.has_cli_vers is not None:
+        # CLI-version handshake for ARB integration (sina.cpp:272-284)
+        print(
+            f"** SINA (SILVA Incremental Aligner) {__version__} "
+            "present",
+            file=sys.stderr,
+        )
+        if args.has_cli_vers in ("1", "2", "ARB5.99"):
+            return 0
+        print(
+            "** Error: requested CLI version not supported!",
+            file=sys.stderr,
+        )
+        return 1
     setup_logging(args.verbose, args.quiet, args.log_file)
     log = logging.getLogger("sina")
     log.warning("This is sina-tpu %s.", __version__)
+    if args.arb_list_fields:
+        # list the bundle's metadata fields (rw_arb.cpp:120-156)
+        from .refdb import ReferenceDb
+
+        path = args.db or args.in_path
+        if not path or path == "-":
+            print("--arb-list-fields needs a database (-r/-i)",
+                  file=sys.stderr)
+            return 1
+        try:
+            db = ReferenceDb.open(path)
+        except (ValueError, FileNotFoundError, OSError) as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        keys = sorted({k for s in db.sequences for k in s.attrs})
+        for k in keys:
+            print(k)
+        return 0
     if args.show_conf:
         print("Effective parameters:", file=sys.stderr)
         for k, v in sorted(vars(args).items()):

@@ -23,6 +23,7 @@ class CsvWriter:
         fields: list[str] | None = None,
         crlf: bool = False,
         id_name: str = "name",
+        sep: str = "",
     ):
         p = str(path)
         self._close = p != "-"
@@ -34,7 +35,9 @@ class CsvWriter:
             self.fh = sys.stdout
         else:
             self.fh = open(p, "w")
-        self.sep = "\t" if stem.suffix == ".tsv" else ","
+        # --csv-sep overrides; default ',' or TAB for .tsv
+        # (rw_csv.cpp:62-66)
+        self.sep = sep or ("\t" if stem.suffix == ".tsv" else ",")
         self.eol = "\r\n" if crlf else "\n"
         self.fields = list(fields) if fields else None
         self.id_name = id_name

@@ -31,12 +31,41 @@ from .sequence import Sequence
 logger = logging.getLogger("sina.stats")
 
 
+_BASE_COLORS = {
+    "A": "\033[34m", "a": "\033[34m",
+    "G": "\033[35m", "g": "\033[35m",
+    "C": "\033[32m", "c": "\033[32m",
+    "T": "\033[33m", "t": "\033[33m",
+    "U": "\033[33m", "u": "\033[33m",
+}
+
+
+def color_code(text: str) -> str:
+    """ANSI-color bases like the reference (--colors,
+    cseq.cpp:319-360): A blue, G magenta, C green, T/U yellow."""
+    out = []
+    colored = False
+    for ch in text:
+        code = _BASE_COLORS.get(ch)
+        if code is not None:
+            out.append(code)
+            colored = True
+        elif colored:
+            out.append("\033[0m")
+            colored = False
+        out.append(ch)
+    if colored:
+        out.append("\033[0m")
+    return "".join(out)
+
+
 def write_alignment(
-    seqs: list[Sequence], from_pos: int, to_pos: int
+    seqs: list[Sequence], from_pos: int, to_pos: int,
+    colors: bool = False,
 ) -> str:
     """Textual dump of an alignment region over several sequences,
     deduplicating identical rows (cseq::write_alignment semantics,
-    /root/reference/src/cseq.cpp:361-454, uncolored)."""
+    /root/reference/src/cseq.cpp:361-454)."""
     if not seqs:
         return "write_alignment(): no sequences?\n"
     width = seqs[0].width
@@ -65,7 +94,8 @@ def write_alignment(
         if n - 2 in members:
             tags += " <---(%% ORIG %%)"
         ids = ",".join(str(m) for m in members)
-        out.append(f"{text} {ids}{tags}")
+        shown = color_code(text) if colors else text
+        out.append(f"{shown} {ids}{tags}")
     return "\n".join(out) + "\n"
 
 
@@ -73,6 +103,7 @@ def write_alignment(
 class StatsPrinter:
     show_dist: bool = False
     show_diff: bool = False
+    colors: bool = False
     helix_pairs: np.ndarray | None = None
     orig_db: object = None  # optional ReferenceDb with originals
 
@@ -122,7 +153,10 @@ class StatsPrinter:
             for lo, hi in orig.find_differing_parts(aligned):
                 logger.info(
                     "\n%s",
-                    write_alignment(refs + [orig, aligned], lo, hi),
+                    write_alignment(
+                        refs + [orig, aligned], lo, hi,
+                        colors=self.colors,
+                    ),
                 )
 
     def _show_dist(self, orig, aligned, reference):

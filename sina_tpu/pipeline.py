@@ -65,6 +65,8 @@ class PipelineConfig:
     # csv writer options
     csv_crlf: bool = False
     csv_id: str = "name"
+    csv_sep: str = ""
+    colors: bool = False
     # input striding (rw_arb.cpp:184-284 --select-* semantics)
     select_step: int = 1
     select_skip: int = 0
@@ -99,7 +101,8 @@ class Pipeline:
             self.searcher = SearchFilter(sdb, cfg.search, self.finder)
 
         self.stats = StatsPrinter(
-            show_dist=cfg.show_dist, show_diff=cfg.show_diff
+            show_dist=cfg.show_dist, show_diff=cfg.show_diff,
+            colors=cfg.colors,
         )
         if cfg.orig_db:
             self.stats.orig_db = ReferenceDb.open(cfg.orig_db)
@@ -138,6 +141,7 @@ class Pipeline:
                             fields=self.cfg.fields or None,
                             crlf=self.cfg.csv_crlf,
                             id_name=self.cfg.csv_id,
+                            sep=self.cfg.csv_sep,
                         ),
                     )
                 )
