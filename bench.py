@@ -31,8 +31,8 @@ def main() -> int:
     ap.add_argument("--n-refs", type=int, default=2000)
     ap.add_argument("--width", type=int, default=2400)
     ap.add_argument("--n-core", type=int, default=1450)
-    ap.add_argument("--n-queries", type=int, default=192)
-    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--n-queries", type=int, default=640)
+    ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--fs-max", type=int, default=40)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
