@@ -115,11 +115,11 @@ class FamFinder:
 
                 self._mesh = make_mesh(devices)
                 mp = self._mesh.shape["mp"]
-                P = self.index.dense()
-                S = P.shape[1]
-                S_pad = -(-S // mp) * mp
-                if S_pad != S:
-                    P = np.pad(P, ((0, 0), (0, S_pad - S)))
+                P = self.index.dense_packed()
+                Sb = P.shape[1]
+                Sb_pad = -(-Sb // mp) * mp
+                if Sb_pad != Sb:
+                    P = np.pad(P, ((0, 0), (0, Sb_pad - Sb)))
                 self._P = shard_index_matrix(
                     self._mesh, jnp.asarray(P)
                 )

@@ -116,13 +116,114 @@ def kmer_scores_pallas(P, kmers):
     return out.reshape(B, S)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def kmer_scores_packed_xla(Pp, kmers, chunk: int = 32):
+    """Bitpacked scoring: Pp (R+1, Sb) uint8 (bit b of byte j =
+    sequence 8j+b, KmerIndex.dense_packed) -> scores (B, Sb*8)
+    int32."""
+    B, L = kmers.shape
+    Sb = Pp.shape[1]
+    pad = (-L) % chunk
+    kmers = jnp.pad(
+        kmers, ((0, 0), (0, pad)), constant_values=Pp.shape[0] - 1
+    )
+    nchunks = (L + pad) // chunk
+    kc = kmers.reshape(B, nchunks, chunk).transpose(1, 0, 2)
+    bitw = jnp.arange(8, dtype=jnp.uint8)
+
+    def step(acc, kk):
+        rows = jnp.take(Pp, kk, axis=0)          # (B, chunk, Sb) u8
+        bits = (rows[..., None] >> bitw) & jnp.uint8(1)
+        return acc + bits.astype(jnp.int32).sum(axis=1), None
+
+    acc0 = (
+        jnp.zeros((B, Sb, 8), dtype=jnp.int32)
+        + (kmers[:, :1, None] * 0)
+        + (Pp[:1, :1, None].astype(jnp.int32) * 0)
+    )
+    acc, _ = jax.lax.scan(step, acc0, kc)
+    return acc.reshape(B, Sb * 8)
+
+
+def _pallas_kernel_packed(kmer_ref, *refs):
+    from jax.experimental import pallas as pl
+
+    rows = refs[:_KMER_G]
+    out_ref = refs[_KMER_G]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    us = [r[0, 0, :].astype(jnp.int32) for r in rows]
+    for bit in range(8):
+        acc = (us[0] >> bit) & 1
+        for u in us[1:]:
+            acc += (u >> bit) & 1
+        out_ref[0, bit, :] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kmer_scores_packed_pallas(Pp, kmers, interpret: bool = False):
+    """TPU path over the bitpacked matrix: per grid step G packed
+    rows (1, Sb) u8 are DMA'd (8x fewer bytes than dense) and
+    unpacked on the VPU into a (8, Sb) per-bit accumulator; the
+    (B, 8, Sb) output transposes back to sequence order outside."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = kmers.shape
+    G = _KMER_G
+    pad = (-L) % G
+    if pad:
+        kmers = jnp.pad(
+            kmers, ((0, 0), (0, pad)),
+            constant_values=Pp.shape[0] - 1,
+        )
+        L += pad
+    Sb = Pp.shape[1]
+    P3 = Pp.reshape(Pp.shape[0], 1, Sb)
+
+    def mk_index(g):
+        return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, L // G),
+        in_specs=[
+            pl.BlockSpec((1, 1, Sb), mk_index(g)) for g in range(G)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, Sb), lambda b, l, kref: (b, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        _pallas_kernel_packed,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 8, Sb), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kmers, *([P3] * G))
+    # out[b, bit, byte] -> seq id = byte*8 + bit
+    return out.transpose(0, 2, 1).reshape(B, Sb * 8)
+
+
 def kmer_scores(P, kmers):
-    """Dispatch on backend: Pallas on TPU, XLA elsewhere."""
+    """Dispatch on matrix layout (uint8 = bitpacked, int8 = dense)
+    and backend (Pallas on TPU, XLA elsewhere)."""
+    packed = P.dtype == jnp.uint8
     if jax.default_backend() in ("tpu", "axon"):
         try:
+            if packed:
+                return kmer_scores_packed_pallas(P, kmers)
             return kmer_scores_pallas(P, kmers)
         except Exception:  # pragma: no cover - fallback safety
-            return kmer_scores_xla(P, kmers)
+            pass
+    if packed:
+        return kmer_scores_packed_xla(P, kmers)
     return kmer_scores_xla(P, kmers)
 
 

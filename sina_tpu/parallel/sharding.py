@@ -34,12 +34,15 @@ def make_mesh(devices=None, dp: int | None = None) -> Mesh:
 def sharded_search(mesh: Mesh, k_top: int):
     """Compiled sharded scoring+top-k.
 
-    Returns fn(P_matrix (R+1, S), kmers (B, L)) -> (vals, ids) both
-    (B, k_top), with P sharded over sequences on "mp" and queries
-    over "dp"; per-shard top-k is merged via all-gather over "mp"
-    (the ICI replacement for the PT-server candidate merge).
+    Returns fn(P_matrix (R+1, S or Sb), kmers (B, L)) -> (vals, ids)
+    both (B, k_top), with P sharded over sequences on "mp" (byte
+    axis when bitpacked uint8) and queries over "dp"; per-shard
+    top-k is merged via all-gather over "mp" (the ICI replacement
+    for the PT-server candidate merge).
     """
-    from ..ops.kmer_kernel import kmer_scores_xla
+    from ..ops.kmer_kernel import (
+        kmer_scores_packed_xla, kmer_scores_xla,
+    )
 
     mp = mesh.shape["mp"]
 
@@ -51,8 +54,12 @@ def sharded_search(mesh: Mesh, k_top: int):
         check_vma=False,  # outputs are mp-replicated via all_gather
     )
     def fn(P_local, kmers_local):
-        s_local = P_local.shape[1]
-        scores = kmer_scores_xla(P_local, kmers_local)
+        if P_local.dtype == jnp.uint8:  # bitpacked byte axis
+            s_local = P_local.shape[1] * 8
+            scores = kmer_scores_packed_xla(P_local, kmers_local)
+        else:
+            s_local = P_local.shape[1]
+            scores = kmer_scores_xla(P_local, kmers_local)
         k_local = min(k_top, s_local)
         v, i = jax.lax.top_k(scores, k_local)
         shard = jax.lax.axis_index("mp")

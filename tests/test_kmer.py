@@ -113,3 +113,40 @@ def test_nofast_index(small_db):
     kmers, _ = query_kmers_padded(masks, 6, fast=False)
     scores = np.asarray(kmer_scores_xla(P, kmers))[0]
     assert scores.argmax() == 0
+
+
+def test_packed_incidence_matches_dense():
+    """Bitpacked scoring == dense scoring (and the packed Pallas
+    kernel, interpret mode, == the packed XLA path)."""
+    import jax.numpy as jnp
+
+    from sina_tpu import testing
+    from sina_tpu.ops.kmer import query_kmers_padded
+    from sina_tpu.ops.kmer_index import KmerIndex
+    from sina_tpu.ops.kmer_kernel import (
+        kmer_scores_packed_pallas,
+        kmer_scores_packed_xla,
+        kmer_scores_xla,
+    )
+
+    db = testing.make_reference(
+        n_seqs=50, n_core=200, width=400, seed=11
+    )
+    idx = KmerIndex.build(db, k=8, fast=True)
+    P = idx.dense()
+    Pp = idx.dense_packed()
+    masks = [s.masks for s in db.sequences[:6]]
+    kmers, _ = query_kmers_padded(masks, 8, fast=True, pad_to=256)
+    dense = np.asarray(kmer_scores_xla(jnp.asarray(P), kmers))
+    packed = np.asarray(
+        kmer_scores_packed_xla(jnp.asarray(Pp), kmers)
+    )
+    n = idx.n_seqs
+    np.testing.assert_array_equal(packed[:, :n], dense[:, :n])
+    assert (packed[:, n:] == 0).all()
+    pal = np.asarray(
+        kmer_scores_packed_pallas(
+            jnp.asarray(Pp), kmers, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(pal, packed)
