@@ -620,9 +620,11 @@ def _profile_pallas_fn(
             lambda b, c, i: chain_traceback_log(b, c, i, C, M),
             in_axes=(1, 0, 0),
         )(bp, bc, bi)                      # (B, L) column-only log
-        # ship the raw log; the scatter to per-base emission happens
-        # on host (a device scatter compiled for minutes on the
-        # tunnelled backend)
+        # ship the step-indexed log as-is: a device sort/top_k could
+        # compact it to (B, M) but measured 3-6x slower than the
+        # extra d2h bytes on this backend; the scatter to per-base
+        # emission happens on host (a device scatter compiled for
+        # minutes on the tunnelled backend)
         B = log.shape[0]
         aux = jnp.stack(
             [

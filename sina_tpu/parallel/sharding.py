@@ -21,11 +21,28 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_mesh(devices=None, dp: int | None = None) -> Mesh:
-    """Build a (dp, mp) mesh over the given devices."""
+    """Build a (dp, mp) mesh over the given devices.
+
+    Multi-host runs (jax.process_count() > 1, after
+    parallel.multihost.initialize): "dp" spans hosts so the
+    query-batch axis rides DCN (each host feeds its own --fasta-block
+    shard, no cross-host traffic on the data axis) and "mp" stays
+    within a host so the index-shard all-gather merge rides ICI.
+    jax.devices() orders devices grouped by process, so the reshape
+    below produces exactly that layout."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp is None:
-        dp = 2 if n % 2 == 0 and n >= 4 else 1
+        try:
+            import jax as _jax
+
+            nproc = _jax.process_count()
+        except RuntimeError:  # pragma: no cover - pre-init
+            nproc = 1
+        if nproc > 1 and n % nproc == 0:
+            dp = nproc
+        else:
+            dp = 2 if n % 2 == 0 and n >= 4 else 1
     mp = n // dp
     arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(arr, ("dp", "mp"))
