@@ -253,11 +253,14 @@ class FamFinder:
         query: Sequence,
         scores: np.ndarray | None = None,
         ranked: list[tuple[float, int]] | None = None,
-    ) -> list[tuple[float, Sequence]]:
+        allow_refetch: bool = True,
+    ) -> list[tuple[float, Sequence]] | None:
         """Constraint-driven family selection (famfinder.cpp:497-612).
         Either full `scores` or a pre-ranked candidate list may be
         given (batched path); escalation refetches when the candidate
-        list runs out."""
+        list runs out.  With allow_refetch=False the refetch is
+        signalled by returning None instead, so process_batch can
+        batch all escalating queries into ONE device scoring call."""
         cfg = self.cfg
         cmp = Comparator(IUPAC_OPTIMISTIC, "none", COVER_QUERY, False)
         qbases = query.get_bases().upper().replace("U", "T")
@@ -271,6 +274,8 @@ class FamFinder:
                 cand = ranked[:max_results]
             else:
                 if scores is None:
+                    if not allow_refetch:
+                        return None
                     scores = self.score_batch([query.masks])[0]
                 cand = self._rank(scores, max_results)
                 ranked = None
@@ -449,7 +454,11 @@ class FamFinder:
                     for v, i in zip(vals[b], ids[b])
                     if v >= 0
                 ]
-                out.append(self._finish(q, ranked=ranked))
+                out.append(
+                    self._finish(q, ranked=ranked,
+                                 allow_refetch=False)
+                )
+            self._finish_escalated(queries, out)
             return out
         if cfg.turn == TURN_NONE:
             for q in queries:
@@ -512,8 +521,22 @@ class FamFinder:
                 for v, i in zip(vals[row], ids[row])
                 if v >= 0
             ]
-            out.append(self._finish(q, ranked=ranked))
+            out.append(
+                self._finish(q, ranked=ranked, allow_refetch=False)
+            )
+        self._finish_escalated(queries, out)
         return out
+
+    def _finish_escalated(self, queries, out) -> None:
+        """One batched full-scoring call for every query whose
+        candidate list ran out during constraint escalation
+        (famfinder.cpp:591-608's x10 retry, batched)."""
+        todo = [b for b, r in enumerate(out) if r is None]
+        if not todo:
+            return
+        scores = self.score_batch([queries[b].masks for b in todo])
+        for row, b in enumerate(todo):
+            out[b] = self._finish(queries[b], scores=scores[row])
 
     def __call__(self, query: Sequence) -> FamilyResult:
         self.apply_turn(query)
@@ -524,11 +547,19 @@ class FamFinder:
         query: Sequence,
         scores: np.ndarray | None = None,
         ranked: list[tuple[float, int]] | None = None,
-    ) -> FamilyResult:
+        allow_refetch: bool = True,
+    ) -> FamilyResult | None:
         """Post-turn-check famfinder stage body
-        (famfinder.cpp:439-494)."""
+        (famfinder.cpp:439-494).  Returns None when the candidate
+        list ran out and allow_refetch is False (escalation deferred
+        to the batched caller)."""
         cfg = self.cfg
-        family = self.match(query, scores=scores, ranked=ranked)
+        family = self.match(
+            query, scores=scores, ranked=ranked,
+            allow_refetch=allow_refetch,
+        )
+        if family is None:
+            return None
 
         # family string attr (famfinder.cpp:458-470)
         fam_str = " ".join(
