@@ -241,7 +241,8 @@ def align_dispatch(
             if cfg.debug_graph:
                 from .ops.graph import graph_to_dot
 
-                fname = f"sina_graph_{query.name or idx}.dot"
+                # reference naming: mseq_<name>.dot (align.cpp:511-513)
+                fname = f"mseq_{query.name or idx}.dot"
                 with open(fname, "w") as fh:
                     fh.write(graph_to_dot(template))
                 logger.info("wrote %s", fname)
@@ -554,6 +555,42 @@ def align_sequence_host_traceback(
     )
 
 
+def _write_path_svg(
+    fname: str, cols: np.ndarray, idx: np.ndarray, width: int,
+    m: int,
+) -> None:
+    """SVG of the DP alignment path (column vs query base) — the
+    redesigned equivalent of the reference's mesh_to_svg lattice dump
+    (mesh_debug.h:103-193; the dense lattice never reaches the host
+    here, so the path itself is what there is to draw)."""
+    W, H, PAD = 800, 500, 40
+    if len(cols) == 0 or width <= 1 or m <= 1:
+        return
+    xs = PAD + (W - 2 * PAD) * cols.astype(float) / max(width - 1, 1)
+    ys = PAD + (H - 2 * PAD) * idx.astype(float) / max(m - 1, 1)
+    pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in zip(xs, ys))
+    svg = (
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" '
+        f'height="{H}">\n'
+        f'<rect width="{W}" height="{H}" fill="white"/>\n'
+        f'<line x1="{PAD}" y1="{H-PAD}" x2="{W-PAD}" y2="{H-PAD}" '
+        'stroke="black"/>\n'
+        f'<line x1="{PAD}" y1="{PAD}" x2="{PAD}" y2="{H-PAD}" '
+        'stroke="black"/>\n'
+        f'<text x="{W//2}" y="{H-8}" font-size="12">alignment '
+        f'column (0..{width - 1})</text>\n'
+        f'<text x="4" y="{H//2}" font-size="12" '
+        f'transform="rotate(-90 12,{H//2})">query base '
+        f'(0..{m - 1})</text>\n'
+        f'<polyline points="{pts}" fill="none" stroke="crimson" '
+        'stroke-width="1.5"/>\n'
+        "</svg>\n"
+    )
+    with open(fname, "w") as fh:
+        fh.write(svg)
+    logger.info("wrote %s", fname)
+
+
 def finish_alignment(
     query: Sequence,
     q_upper: Sequence,
@@ -613,6 +650,11 @@ def finish_alignment(
     body_cols = pos_arr[body_nodes].astype(np.int64)
     seg_pos.append(body_cols)
     seg_mask.append(qmasks[body_idx].astype(np.uint8))
+    if cfg.debug_graph:
+        _write_path_svg(
+            f"mesh_{query.name}.svg", body_cols, body_idx,
+            width, m,
+        )
     neg_match = -cfg.match_score
     sum_weight = float(
         (

@@ -72,3 +72,36 @@ def test_csv_sep_writer(tmp_path):
     with CsvWriter(str(f), sep="|") as w:
         w.write(s)
     assert f.read_text().splitlines()[0] == "name|x"
+
+
+def test_debug_graph_dumps(tmp_path, monkeypatch):
+    from sina_tpu import testing
+    from sina_tpu.align import AlignerConfig, align_sequence
+
+    monkeypatch.chdir(tmp_path)
+    db = testing.make_reference(n_seqs=30, n_core=120, width=200, seed=5)
+    q = testing.unaligned_copy(db.sequences[0])
+    fam = [(1.0, db.sequences[i]) for i in range(1, 9)]
+    cfg = AlignerConfig(
+        realign=True, engine="graph", debug_graph=True
+    )
+    out = align_sequence(q, fam, cfg)
+    assert out is not None
+    dots = list(tmp_path.glob("mseq_*.dot"))
+    svgs = list(tmp_path.glob("mesh_*.svg"))
+    assert dots and svgs
+    assert "<svg" in svgs[0].read_text()
+
+
+def test_multihost_input_shard(monkeypatch, tmp_path):
+    import jax
+
+    from sina_tpu.parallel import multihost
+
+    f = tmp_path / "in.fasta"
+    f.write_bytes(b">a\nACGT\n" * 100)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    shard = multihost.host_input_shard(str(f))
+    assert shard["fasta_idx"] == 2
+    assert shard["fasta_block"] * 4 >= f.stat().st_size
