@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(always true in this implementation)")
     p.add_argument("--max-in-flight", type=int, default=0,
                    help="(compatibility)")
-    p.add_argument("--batch-size", type=int, default=64,
+    p.add_argument("--batch-size", type=int, default=128,
                    help="queries per device batch")
     p.add_argument("--show-conf", action="store_true")
     p.add_argument("-v", "--verbose", action="count", default=0)

@@ -45,7 +45,7 @@ class PipelineConfig:
     do_search: bool = False
     add_relatives: int = 0
     fields: list[str] = field(default_factory=list)
-    batch_size: int = 64
+    batch_size: int = 128
     show_dist: bool = False
     show_diff: bool = False
     orig_db: str | None = None
