@@ -386,13 +386,21 @@ def _dispatch_graph_bucket(
             params,
         )
     else:
+        preds_all = np.stack([g.preds for g in g_list])
+        # sliding-window DP core when every pred is nearby in topo
+        # order (always true for MSA-derived POA graphs in practice)
+        valid = preds_all >= 0
+        node_ids = np.arange(preds_all.shape[1])[None, :, None]
+        dists = np.where(valid, node_ids - preds_all, 0)
+        maxd = int(dists.max()) if valid.any() else 0
+        window = 32 if 0 < maxd < 32 else None
         out = ak.poa_dp_batch(
             jnp.asarray(np.stack([g.pos for g in g_list])),
             jnp.asarray(
                 np.stack([g.mask.astype(np.int32) for g in g_list])
             ),
             jnp.asarray(np.stack([g.weight for g in g_list])),
-            jnp.asarray(np.stack([g.preds for g in g_list])),
+            jnp.asarray(preds_all),
             jnp.asarray(np.stack([g.is_start for g in g_list])),
             jnp.asarray(np.stack([g.is_end for g in g_list])),
             jnp.asarray(qm),
@@ -401,6 +409,7 @@ def _dispatch_graph_bucket(
             jnp.asarray(cw_pad),
             params,
             max_insert=max_ins,
+            window=window,
         )
     for arr in out:
         try:

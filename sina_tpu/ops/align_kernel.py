@@ -61,7 +61,8 @@ class DpParams:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_nodes", "m_len", "params")
+    jax.jit,
+    static_argnames=("n_nodes", "m_len", "params", "window"),
 )
 def poa_dp(
     node_pos,      # (N,) int32
@@ -77,9 +78,11 @@ def poa_dp(
     n_nodes: int,
     m_len: int,
     params: DpParams,
+    window: int | None = None,
 ):
     """Graph-mode cost setup + DP.  Returns (bp (N, M) uint16,
-    best_j, best_i, raw_score)."""
+    best_j, best_i, raw_score).  `window` selects the sliding-window
+    core when every predecessor is within that topo distance."""
     N, M = n_nodes, m_len
     go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
 
@@ -89,6 +92,12 @@ def poa_dp(
     sub = jnp.where(
         compat, jnp.float32(params.match), jnp.float32(params.mismatch)
     ) * (wcol * node_weight)[:, None]                 # (N, M)
+    if window is not None:
+        return poa_dp_costs_windowed(
+            sub, go * wcol, ge * wcol, go * wins, ge * wins,
+            preds, is_start, is_end, qlen, n_real,
+            n_nodes=N, m_len=M, window=window,
+        )
     return poa_dp_costs(
         sub, go * wcol, ge * wcol, go * wins, ge * wins,
         preds, is_start, is_end, qlen, n_real,
@@ -97,12 +106,14 @@ def poa_dp(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_nodes", "m_len", "params")
+    jax.jit,
+    static_argnames=("n_nodes", "m_len", "params", "window"),
 )
 def poa_dp_forbid(
     node_pos, node_mask, node_weight, preds, is_start, is_end,
     qmask, qlen, n_real, col_weights, max_insert,
     n_nodes: int, m_len: int, params: DpParams,
+    window: int | None = None,
 ):
     """Graph-mode DP with the aspace-aware bounded insertion budget
     (--insertion=forbid, mesh.h:377-438)."""
@@ -114,6 +125,13 @@ def poa_dp_forbid(
     sub = jnp.where(
         compat, jnp.float32(params.match), jnp.float32(params.mismatch)
     ) * (wcol * node_weight)[:, None]
+    if window is not None:
+        return poa_dp_costs_windowed(
+            sub, go * wcol, ge * wcol, go * wins, ge * wins,
+            preds, is_start, is_end, qlen, n_real,
+            n_nodes=N, m_len=M, ins_budget=max_insert,
+            window=window,
+        )
     return poa_dp_costs(
         sub, go * wcol, ge * wcol, go * wins, ge * wins,
         preds, is_start, is_end, qlen, n_real,
@@ -208,6 +226,151 @@ def _windowed_min(W, R, M: int):
         cand = jnp.minimum(a, b)
         out = jnp.where(applies, cand, out)
     return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "m_len", "window")
+)
+def poa_dp_costs_windowed(
+    sub, del_open, del_ext, ins_open, ins_ext,
+    preds, is_start, is_end, qlen, n_real,
+    n_nodes: int, m_len: int,
+    ins_budget=None, window: int = 32,
+):
+    """Sliding-window variant of poa_dp_costs for graphs whose
+    predecessors all sit within `window` topo positions (true for
+    MSA-derived POA graphs — measured max distance 18 at fs-max=40).
+    The scan carries only a (window, M) ring of V/D rows instead of
+    the dense (N, M) lattices, pred rows come from a one-hot matmul
+    over the ring (MXU-sized), and backpointers stack as scan
+    outputs.  Bit-identical results to poa_dp_costs (tested)."""
+    N, M = n_nodes, m_len
+    P = preds.shape[1]
+    K = window
+
+    iidx = jnp.arange(M, dtype=jnp.float32)
+    pred_ok = preds >= 0
+    dist = jnp.arange(N, dtype=jnp.int32)[:, None] - preds  # (N, P)
+
+    Vr0 = jnp.full((K, M), BIG, dtype=jnp.float32)
+    Dr0 = jnp.full((K, M), BIG, dtype=jnp.float32)
+    carry0 = (
+        Vr0, Dr0,
+        jnp.float32(BIG), jnp.int32(0), jnp.int32(0),
+    )
+    budget_xs = (
+        ins_budget
+        if ins_budget is not None
+        else jnp.zeros(N, dtype=jnp.int32)
+    )
+    xs = (
+        sub, del_open, del_ext, ins_open, ins_ext,
+        dist, pred_ok, is_start, is_end,
+        jnp.arange(N, dtype=jnp.int32), budget_xs,
+    )
+
+    def step(carry, x):
+        Vr, Dr, b2v, b2j, b2i = carry
+        (subj, wd_o, wd_e, go_i, ge_i,
+         dist_j, ok, start_j, end_j, j, budget_j) = x
+        ridx = jnp.mod(j - dist_j, K)              # (P,)
+        onehot = (
+            ridx[:, None] == jnp.arange(K)[None, :]
+        ).astype(jnp.float32)                      # (P, K)
+        Vp = jnp.where(ok[:, None], onehot @ Vr, BIG)
+        Dp = jnp.where(ok[:, None], onehot @ Dr, BIG)
+
+        edge = start_j | (jnp.arange(M) == 0)
+        base = jnp.where(edge, jnp.float32(1.0), BIG)
+
+        d_open_cand = Vp + wd_o
+        d_ext_cand = Dp + wd_e
+        dcand = jnp.minimum(d_open_cand, d_ext_cand)
+        dslot = jnp.argmin(dcand, axis=0)
+        dmin = dcand.min(axis=0)
+        dsel_open = (
+            jnp.take_along_axis(d_open_cand, dslot[None], 0)[0]
+            < jnp.take_along_axis(d_ext_cand, dslot[None], 0)[0]
+        )
+        Drow = jnp.minimum(base, dmin)
+
+        Vp_prev = jnp.concatenate(
+            [jnp.full((P, 1), BIG), Vp[:, :-1]], axis=1
+        )
+        mslot = jnp.argmin(Vp_prev, axis=0)
+        Mc = Vp_prev.min(axis=0) + subj
+
+        U = base
+        codeU = jnp.zeros(M, dtype=jnp.uint16)
+        take_d = dmin < U
+        U = jnp.where(take_d, dmin, U)
+        codeU = jnp.where(take_d, jnp.uint16(CODE_DEL), codeU)
+        take_m = Mc < U
+        U = jnp.where(take_m, Mc, U)
+        codeU = jnp.where(take_m, jnp.uint16(CODE_MATCH), codeU)
+
+        cand = U + go_i - (iidx + 1.0) * ge_i
+        if ins_budget is None:
+            run = jax.lax.cummin(cand)
+            seed = jnp.float32(1.0)
+            prefix = jnp.concatenate(
+                [seed[None], jnp.minimum(run[:-1], seed)]
+            )
+        else:
+            wm = _windowed_min(cand, budget_j, M)
+            prefix = jnp.concatenate([jnp.array([BIG]), wm[:-1]])
+            prefix = jnp.where(budget_j < 1, BIG, prefix)
+        Irow = prefix + iidx * ge_i
+        Iprev = jnp.concatenate([jnp.array([BIG]), Irow[:-1]])
+        Uprev = jnp.concatenate([jnp.array([BIG]), U[:-1]])
+        ins_opened = (Uprev + go_i) <= (Iprev + ge_i)
+
+        take_i = Irow <= U
+        Vrow = jnp.where(take_i, Irow, U)
+        code = jnp.where(take_i, jnp.uint16(CODE_INS), codeU)
+
+        bp_row = (
+            code
+            | (mslot.astype(jnp.uint16) << 2)
+            | (dslot.astype(jnp.uint16) << 5)
+            | (dsel_open.astype(jnp.uint16) << 8)
+            | (ins_opened.astype(jnp.uint16) << 9)
+        )
+
+        Vr = jax.lax.dynamic_update_slice(
+            Vr, Vrow[None], (jnp.mod(j, K), 0)
+        )
+        Dr = jax.lax.dynamic_update_slice(
+            Dr, Drow[None], (jnp.mod(j, K), 0)
+        )
+        # end-candidate 2 running row-major argmin (end nodes at any
+        # slave position; strict < keeps the lowest j like the flat
+        # argmin of poa_dp_costs)
+        iok = jnp.arange(M) < qlen
+        masked = jnp.where(
+            end_j & (j < n_real) & iok, Vrow, BIG
+        )
+        i_at = jnp.argmin(masked)
+        v_at = masked[i_at]
+        upd = v_at < b2v
+        b2v = jnp.where(upd, v_at, b2v)
+        b2j = jnp.where(upd, j, b2j)
+        b2i = jnp.where(upd, i_at.astype(jnp.int32), b2i)
+        lastcol = Vrow[qlen - 1]
+        return (Vr, Dr, b2v, b2j, b2i), (bp_row, lastcol)
+
+    (_, _, v2, j2, i2), (BP, lastcols) = jax.lax.scan(
+        step, carry0, xs
+    )
+    node_valid = jnp.arange(N) < n_real
+    c1 = jnp.where(node_valid, lastcols, BIG)
+    j1 = jnp.argmin(c1)
+    v1 = c1[j1]
+    use2 = v2 < v1                                  # strict (mesh.h:588)
+    best_j = jnp.where(use2, j2, j1)
+    best_i = jnp.where(use2, i2, qlen - 1)
+    raw = jnp.where(use2, v2, v1)
+    return BP, best_j, best_i, raw
 
 
 @functools.partial(jax.jit, static_argnames=("n_nodes", "m_len"))
@@ -347,7 +510,8 @@ def poa_dp_costs(
 
 @functools.lru_cache(maxsize=64)
 def _batched_fn(
-    n_nodes: int, m_len: int, params: DpParams, aspace: bool = False
+    n_nodes: int, m_len: int, params: DpParams,
+    aspace: bool = False, window: int | None = None,
 ):
     """Compiled vmapped DP + on-device traceback for one shape bucket.
     Only the per-base emission array leaves the device; the V/D/BP
@@ -359,11 +523,13 @@ def _batched_fn(
             bp, bj, bi, raw = poa_dp_forbid(
                 pos, mask, w, preds, st, en, qm, ql, nr, cw,
                 max_ins, n_nodes=n_nodes, m_len=m_len, params=params,
+                window=window,
             )
         else:
             bp, bj, bi, raw = poa_dp(
                 pos, mask, w, preds, st, en, qm, ql, nr, cw,
                 n_nodes=n_nodes, m_len=m_len, params=params,
+                window=window,
             )
         emit = traceback_device(
             bp, bj, bi, preds, st, n_nodes, m_len
@@ -380,14 +546,16 @@ def _batched_fn(
 def poa_dp_batch(
     pos, mask, weight, preds, is_start, is_end,
     qmask, qlen, n_real, col_weights, params: DpParams,
-    max_insert=None,
+    max_insert=None, window: int | None = None,
 ):
     """Batched DP over stacked padded graphs/queries: leading batch
     axis on every array argument.  Returns (emit (B, M), best_j,
-    best_i, raw).  `max_insert` (B, N) enables forbid mode."""
+    best_i, raw).  `max_insert` (B, N) enables forbid mode; `window`
+    selects the sliding-window core (all preds within that topo
+    distance)."""
     fn = _batched_fn(
         pos.shape[1], qmask.shape[1], params,
-        aspace=max_insert is not None,
+        aspace=max_insert is not None, window=window,
     )
     if max_insert is not None:
         return fn(
