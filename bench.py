@@ -40,6 +40,11 @@ def main() -> int:
         help="V4-amplicon workload (~250nt queries; the reference's "
         "second headline: 1M amplicons/h ~ 280 seq/s)",
     )
+    ap.add_argument(
+        "--search", action="store_true",
+        help="measure the search+LCA stage (candidate retrieval, "
+        "comparator rescoring, taxonomy vote) instead of alignment",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -91,6 +96,59 @@ def main() -> int:
     )
     finder._matrix()  # place index in device memory
     t_index = time.time() - t0
+
+    if args.search:
+        # search+LCA stage over prealigned queries (the reference's
+        # search_filter workload, search_filter.cpp:243-416)
+        from sina_tpu.search import SearchConfig, SearchFilter
+
+        searcher = SearchFilter(
+            db,
+            SearchConfig(
+                min_sim=0.5, lca_fields=["tax_slv"],
+                kmer_candidates=min(1000, len(db)),
+            ),
+            finder,
+        )
+        aligned = [
+            q for q in testing.make_queries(
+                db, n=args.n_queries, seed=7, branch_len=0.7
+            )
+        ]
+        t0 = time.time()
+        searcher.process_batch(aligned[: args.batch_size])
+        t_warm = time.time() - t0
+        t0 = time.time()
+        n_done = 0
+        for i in range(args.batch_size, len(aligned), args.batch_size):
+            out = searcher.process_batch(
+                aligned[i : i + args.batch_size]
+            )
+            n_done += sum(
+                1
+                for a in out
+                if a is not None and a.get_attr("nearest_slv")
+            )
+        elapsed = time.time() - t0
+        n_timed = len(aligned) - args.batch_size
+        rate = n_timed / elapsed if elapsed > 0 else 0.0
+        print(
+            f"# search warmup={t_warm:.1f}s timed {n_timed} in "
+            f"{elapsed:.1f}s (classified {n_done})",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "search+LCA classification throughput "
+                    "(1 chip)",
+                    "value": round(rate, 2),
+                    "unit": "seq/s",
+                    "vs_baseline": round(rate / BASELINE_SEQ_S, 2),
+                }
+            )
+        )
+        return 0
 
     acfg = AlignerConfig()
 

@@ -118,9 +118,68 @@ class Comparator:
         q_lo, q_hi = int(qpos[0]), int(qpos[-1])
         nq = len(qpos)
 
+        lc = self.filter_lc
+        from . import native
+
+        rule_id = {
+            IUPAC_OPTIMISTIC: 0,
+            IUPAC_PESSIMISTIC: 1,
+            IUPAC_EXACT: 2,
+        }[self.iupac]
+        nat = native.score_counts(
+            flat_pos, flat_masks, offsets,
+            np.asarray(ids, dtype=np.int64), qcol_mask,
+            q_lo, q_hi, rule_id, lc,
+        )
+        if nat is not None:
+            match = nat[:, 0].astype(np.float64)
+            common = nat[:, 1]
+            nb = nat[:, 2]
+            b_in = nat[:, 3]
+            r_lo, r_hi = nat[:, 4], nat[:, 5]
+            mm = common  # match + mismatch
+            only_b = b_in - common
+            b_over = nb - b_in
+            a_in = np.searchsorted(
+                qpos, r_hi, side="right"
+            ) - np.searchsorted(qpos, r_lo, side="left")
+            only_a = a_in - common
+            a_over = nq - a_in
+            cover = self.cover
+            if cover == COVER_ABS:
+                base = np.ones(n, dtype=np.int64)
+            elif cover == COVER_QUERY:
+                base = mm + only_a + a_over
+            elif cover == COVER_TARGET:
+                base = mm + only_b + b_over
+            elif cover == COVER_OVERLAP:
+                base = mm + only_a + only_b
+            elif cover == COVER_ALL:
+                base = mm + only_a + only_b + a_over + b_over
+            elif cover == COVER_AVERAGE:
+                base = mm + (
+                    only_a + only_b + a_over + b_over
+                ) // 2
+            elif cover == COVER_MIN:
+                base = mm + np.minimum(
+                    only_a + a_over, only_b + b_over
+                )
+            elif cover == COVER_MAX:
+                base = mm + np.maximum(
+                    only_a + a_over, only_b + b_over
+                )
+            else:  # nogap
+                base = mm
+            dist = np.where(
+                base > 0, match / np.maximum(base, 1), 0.0
+            )
+            if self.dist == DIST_JC:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    dist = jukes_cantor(dist)
+            return np.where(nb > 0, dist, 0.0)
+
         cmp_fn = _IUPAC_FN[self.iupac]
         out = np.zeros(n, dtype=np.float64)
-        lc = self.filter_lc
         for k in range(n):
             r = int(ids[k])
             lo, hi = int(offsets[r]), int(offsets[r + 1])

@@ -88,8 +88,45 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_score_counts.restype = ctypes.c_long
+    lib.sina_score_counts.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     _lib = lib
     return _lib
+
+
+def score_counts(
+    flat_pos, flat_masks, offsets, ids, qcol_mask,
+    q_lo: int, q_hi: int, iupac_rule: int, filter_lc: bool,
+):
+    """Native comparator counts per candidate: returns (n_ids, 6)
+    int64 [match, common, nb, b_in, r_lo, r_hi] or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(ids)
+    out = np.zeros((n, 6), dtype=np.int64)
+    lib.sina_score_counts(
+        np.ascontiguousarray(flat_pos, np.uint32),
+        np.ascontiguousarray(flat_masks, np.uint8),
+        np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(ids, np.int64),
+        n,
+        np.ascontiguousarray(qcol_mask, np.uint8),
+        q_lo, q_hi, iupac_rule, 1 if filter_lc else 0,
+        out,
+    )
+    return out
 
 
 def build_profiles(

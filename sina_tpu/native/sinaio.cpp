@@ -235,4 +235,67 @@ long sina_build_profiles(
     return 0;
 }
 
+// Batched comparator counts for the search stage
+// (cseq_comparator::traverse semantics, cseq_comparator.cpp:57-117):
+// for each candidate reference, count matches/shared columns against
+// a query column-mask plus span statistics.  The cover-rule and
+// Jukes-Cantor math stays vectorised in numpy.
+//
+//   flat_pos/flat_masks/offsets  packed reference base store
+//   ids[n_ids]                   candidate reference indices
+//   qcol_mask[width+1]           query base mask per column (0 = none)
+//   q_lo/q_hi                    query's first/last occupied column
+//   iupac_rule                   0 optimistic, 1 pessimistic, 2 exact
+//   filter_lc                    skip lowercase reference bases
+//   out[n_ids*6]                 match, common, nb, b_in, r_lo, r_hi
+long sina_score_counts(
+    const unsigned int* flat_pos, const unsigned char* flat_masks,
+    const long long* offsets,
+    const long long* ids, long n_ids,
+    const unsigned char* qcol_mask,
+    long long q_lo, long long q_hi,
+    long iupac_rule, long filter_lc,
+    long long* out) {
+    // popcount per low nibble for the pessimistic rule
+    int pc[16];
+    for (int m = 0; m < 16; ++m)
+        pc[m] = __builtin_popcount((unsigned)m);
+    for (long k = 0; k < n_ids; ++k) {
+        long long r = ids[k];
+        long long lo = offsets[r], hi = offsets[r + 1];
+        long long match = 0, common = 0, nb = 0, b_in = 0;
+        long long r_lo = -1, r_hi = -1;
+        for (long long i = lo; i < hi; ++i) {
+            unsigned char rm = flat_masks[i];
+            if (filter_lc && (rm & 16)) continue;
+            long long pos = flat_pos[i];
+            if (r_lo < 0) r_lo = pos;
+            r_hi = pos;
+            ++nb;
+            if (pos >= q_lo && pos <= q_hi) ++b_in;
+            unsigned char qm = qcol_mask[pos];
+            if (!qm) continue;
+            ++common;
+            unsigned q4 = qm & 0xF, r4 = rm & 0xF;
+            bool ok;
+            if (iupac_rule == 0) {
+                ok = (q4 & r4) != 0;
+            } else if (iupac_rule == 1) {
+                ok = pc[q4] == 1 && q4 == r4;
+            } else {
+                ok = q4 == r4;
+            }
+            if (ok) ++match;
+        }
+        long long* row = &out[k * 6];
+        row[0] = match;
+        row[1] = common;
+        row[2] = nb;
+        row[3] = b_in;
+        row[4] = r_lo;
+        row[5] = r_hi;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -38,3 +38,38 @@ def test_score_many_matches_pairwise(iupac, cover, dist, filter_lc):
             assert np.isnan(many[i]), i
         else:
             assert many[i] == pytest.approx(expect, abs=1e-9), i
+
+
+def test_native_and_python_paths_agree(monkeypatch):
+    """Force the python fallback and compare against the native
+    path (and cover the pessimistic rule + min/max/average/all/abs
+    cover bases)."""
+    from sina_tpu import native
+    from sina_tpu.comparator import (
+        IUPAC_PESSIMISTIC, COVER_ALL, COVER_MIN, COVER_MAX,
+        COVER_AVERAGE, COVER_ABS,
+    )
+
+    db = testing.make_reference(n_seqs=30, n_core=150, width=300, seed=4)
+    offsets, flat_pos, flat_masks = db.packed_arrays()
+    q = testing.make_queries(db, n=1, seed=9)[0]
+    ids = np.arange(len(db))
+    for iupac in (IUPAC_OPTIMISTIC, IUPAC_PESSIMISTIC, IUPAC_EXACT):
+        for cover in (COVER_ALL, COVER_MIN, COVER_MAX,
+                      COVER_AVERAGE, COVER_ABS):
+            cmp = Comparator(iupac, "none", cover, False)
+            got_native = cmp.score_many(
+                q, flat_pos, flat_masks, offsets, ids, db.width
+            )
+            with monkeypatch.context() as mp:
+                mp.setattr(
+                    native, "score_counts",
+                    lambda *a, **k: None,
+                )
+                got_py = cmp.score_many(
+                    q, flat_pos, flat_masks, offsets, ids, db.width
+                )
+            np.testing.assert_allclose(
+                got_native, got_py, atol=1e-12,
+                err_msg=f"{iupac}/{cover}",
+            )
