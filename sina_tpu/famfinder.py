@@ -441,7 +441,8 @@ class FamFinder:
             return []
         if handle is not None:
             packed, k0 = handle
-            packed = np.asarray(packed)
+            with get_timer("Kmer Search").section("fetch topk"):
+                packed = np.asarray(packed)
             vals, ids = packed[:, :k0], packed[:, k0:]
             pad = ids >= self.index.n_seqs
             vals = np.where(pad, -1, vals)

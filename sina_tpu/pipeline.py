@@ -164,9 +164,12 @@ class Pipeline:
             for a in aligned:
                 a.set_attr("align_quality_slv", 100)
             return (batch, [[] for _ in batch], None, aligned)
-        results: list[FamilyResult] = self.finder.process_batch(
-            batch, handle=handle
-        )
+        from .timing import get_timer
+
+        with get_timer("Pipeline").section("famfinder"):
+            results: list[FamilyResult] = self.finder.process_batch(
+                batch, handle=handle
+            )
         # align_dispatch updates this list in place when the aligner
         # filters the family (realign / containment)
         families = [
@@ -186,11 +189,15 @@ class Pipeline:
     ) -> list[tuple[Sequence, Sequence | None, list]]:
         """Stage B: fetch DP results, finish alignments (NAST,
         overhang, attrs), run the search stage."""
+        from .timing import get_timer
+
         batch, families, state, aligned = entry
         if state is not None:
-            aligned = align_finalize(state)
+            with get_timer("Pipeline").section("align finalize"):
+                aligned = align_finalize(state)
         if self.searcher is not None:
-            aligned = self.searcher.process_batch(aligned)
+            with get_timer("Pipeline").section("search"):
+                aligned = self.searcher.process_batch(aligned)
         out = []
         for q, a, fam in zip(batch, aligned, families):
             rel = fam
@@ -260,20 +267,26 @@ class Pipeline:
         batch: list[Sequence] = []
         progress = Progress("Processing")
 
+        from .timing import get_timer
+
+        _wt = get_timer("Pipeline")
+
         def flush(entry):
             nonlocal n_aligned, seqno
-            for q, a, rel in self._finalize_batch(entry):
-                seqno += 1
-                self.stats(q, a, rel or [], seqno)
-                rel_seqs = [s for _, s in rel] if rel else []
-                for kind, w in writers:
-                    if kind == "fasta":
-                        w.write_result(a, rel_seqs)
-                    else:
-                        w.write(a)
-                if a is not None:
-                    n_aligned += 1
-                progress.update()
+            rows = self._finalize_batch(entry)
+            with _wt.section("write+stats"):
+                for q, a, rel in rows:
+                    seqno += 1
+                    self.stats(q, a, rel or [], seqno)
+                    rel_seqs = [s for _, s in rel] if rel else []
+                    for kind, w in writers:
+                        if kind == "fasta":
+                            w.write_result(a, rel_seqs)
+                        else:
+                            w.write(a)
+                    if a is not None:
+                        n_aligned += 1
+                    progress.update()
 
         # 3-stage software pipeline over batches (the batched analog
         # of the reference's TBB flow-graph overlap, sina.cpp:452-586):
