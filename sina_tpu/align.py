@@ -192,6 +192,47 @@ def _bucket(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
+def _count_cols_batch(
+    fam_refs: list[list[Sequence]],
+) -> np.ndarray:
+    """Occupied-column count per family (the profile engine's shape-
+    bucketing input).  One native pass over the shared flat base
+    store when every member carries a `_flat_ref` stamp; per-family
+    numpy unique otherwise."""
+    from . import native
+
+    seqs = [r for refs in fam_refs for r in refs]
+    flats = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = flats[0] if flats else None
+    if r0 is not None and all(
+        f is not None and f[0] is r0[0] and f[4] is s.positions
+        for f, s in zip(flats, seqs)
+    ):
+        n = len(seqs)
+        starts = np.fromiter((f[2] for f in flats), np.int64, n)
+        ends = np.fromiter((f[3] for f in flats), np.int64, n)
+        fam_sizes = np.array(
+            [len(refs) for refs in fam_refs], np.int64
+        )
+        out = native.count_cols(
+            r0[0], starts, ends - starts, fam_sizes,
+            fam_refs[0][0].width,
+        )
+        if out is not None:
+            return out
+    return np.array(
+        [
+            len(
+                np.unique(
+                    np.concatenate([r.positions for r in refs])
+                )
+            )
+            for refs in fam_refs
+        ],
+        np.int64,
+    )
+
+
 def align_dispatch(
     queries: list[Sequence],
     families: list[list[tuple[float, Sequence]]],
@@ -253,23 +294,23 @@ def align_dispatch(
             n_shape = template.n_nodes
         else:
             # profile construction happens batched per bucket; only
-            # the occupied-column count is needed for bucketing
-            with _t.section("count cols"):
-                n_shape = len(
-                    np.unique(
-                        np.concatenate(
-                            [r.positions for r in refs]
-                        )
-                    )
-                )
+            # the occupied-column count is needed for bucketing and
+            # is computed in one batched pass after this loop
+            n_shape = -1
             template = None
             cw = np.ones(refs[0].width + 2, dtype=np.float32)
         q = query.copy()
         if cfg.lowercase != LOWERCASE_ORIGINAL:
             q.upper_case_all()
         todo.append(
-            (idx, q, template, cw, refs, log, n_shape, top_score)
+            [idx, q, template, cw, refs, log, n_shape, top_score]
         )
+
+    if todo and engine != "graph":
+        with get_timer("Aligner").section("count cols"):
+            counts = _count_cols_batch([it[4] for it in todo])
+        for it, c in zip(todo, counts):
+            it[6] = int(c)
 
     # group into shape buckets
     buckets: dict[tuple[int, int], list] = {}

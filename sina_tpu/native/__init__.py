@@ -88,6 +88,15 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_count_cols.restype = ctypes.c_long
+    lib.sina_count_cols.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     lib.sina_score_counts.restype = ctypes.c_long
     lib.sina_score_counts.argtypes = [
         np.ctypeslib.ndpointer(np.uint32),
@@ -126,6 +135,30 @@ def score_counts(
         q_lo, q_hi, iupac_rule, 1 if filter_lc else 0,
         out,
     )
+    return out
+
+
+def count_cols(
+    all_pos, member_starts, base_counts, fam_sizes, width: int,
+):
+    """Native occupied-column counts per family over a flat base
+    store (the shape-bucketing input of align_dispatch).  Returns
+    (B,) int64 or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(fam_sizes)
+    out = np.zeros(B, np.int64)
+    rc = lib.sina_count_cols(
+        np.ascontiguousarray(all_pos, np.uint32),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(base_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        B, width,
+        out,
+    )
+    if rc != 0:
+        return None
     return out
 
 

@@ -235,6 +235,45 @@ long sina_build_profiles(
     return 0;
 }
 
+// Batched occupied-column counts per family (the bucketing input for
+// align_dispatch): counts[b] = |union of member base columns|.  An
+// epoch-stamped scratch array avoids clearing width slots per family.
+//
+//   all_pos[]               alignment column of each base (flat store)
+//   member_starts/base_counts  per-member base ranges (as above)
+//   fam_sizes[B]            members per family
+//   counts[B]               output occupied-column counts
+//
+// Returns 0, or -1 on an out-of-range column (caller falls back).
+long sina_count_cols(
+    const unsigned int* all_pos,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    long B, long width,
+    long long* counts) {
+    std::vector<int> stamp((size_t)width, -1);
+    long seq_cursor = 0;
+    for (long b = 0; b < B; ++b) {
+        long nm = fam_sizes[b];
+        long long C = 0;
+        for (long m = 0; m < nm; ++m) {
+            long long cur = member_starts[seq_cursor + m];
+            long long cnt = base_counts[seq_cursor + m];
+            for (long long k = 0; k < cnt; ++k, ++cur) {
+                unsigned int p = all_pos[cur];
+                if (p >= (unsigned int)width) return -1;
+                if (stamp[p] != (int)b) {
+                    stamp[p] = (int)b;
+                    ++C;
+                }
+            }
+        }
+        counts[b] = C;
+        seq_cursor += nm;
+    }
+    return 0;
+}
+
 // Batched comparator counts for the search stage
 // (cseq_comparator::traverse semantics, cseq_comparator.cpp:57-117):
 // for each candidate reference, count matches/shared columns against

@@ -66,3 +66,60 @@ def test_native_large_roundtrip(lib, tmp_path):
     assert len(nat) == 50
     for a, b in zip(nat, db.sequences):
         assert a.get_aligned() == b.get_aligned()
+
+
+def test_native_count_cols(lib):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    width = 300
+    all_pos, starts, lens = [], [], []
+    fam_sizes = []
+    for _ in range(7):
+        nm = int(rng.integers(1, 6))
+        fam_sizes.append(nm)
+        for _ in range(nm):
+            n = int(rng.integers(5, 80))
+            p = np.sort(
+                rng.choice(width, size=n, replace=False)
+            ).astype(np.uint32)
+            starts.append(sum(lens))
+            lens.append(n)
+            all_pos.append(p)
+    flat = np.concatenate(all_pos)
+    out = native.count_cols(
+        flat,
+        np.array(starts, np.int64),
+        np.array(lens, np.int64),
+        np.array(fam_sizes, np.int64),
+        width,
+    )
+    assert out is not None
+    # reference: per-family union size
+    cur = 0
+    k = 0
+    for b, nm in enumerate(fam_sizes):
+        cols = set()
+        for _ in range(nm):
+            cols.update(all_pos[k].tolist())
+            k += 1
+        assert out[b] == len(cols)
+
+
+def test_count_cols_batch_matches_unique():
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.align import _count_cols_batch
+
+    db = testing.make_reference(
+        n_seqs=30, n_core=150, width=300, seed=9
+    )
+    db.ensure_flat()
+    fams = [db.sequences[i : i + 5] for i in range(0, 30, 5)]
+    got = _count_cols_batch(fams)
+    want = [
+        len(np.unique(np.concatenate([r.positions for r in f])))
+        for f in fams
+    ]
+    assert list(got) == want
