@@ -488,10 +488,36 @@ def _dispatch_profile_bucket(
     B = len(items)
     aspace = cfg.insertion == INSERTION_FORBID
     width = items[0][4][0].width
+
+    # dedup identical families (amplicon batches repeat them): the
+    # profile is built, packed and shipped once per UNIQUE family;
+    # the device gathers each query's row (famfinder hands out the
+    # db's shared Sequence objects, so identity keys suffice)
+    ukeys: dict[tuple, int] = {}
+    fam_idx = np.zeros(B, dtype=np.int32)
+    ufams: list[list] = []
+    for b, it in enumerate(items):
+        k = tuple(id(r) for r in it[4])
+        u = ukeys.get(k)
+        if u is None:
+            u = len(ufams)
+            ukeys[k] = u
+            ufams.append(it[4])
+        fam_idx[b] = u
+    U = len(ufams)
+    dedup = U < B
     with t.section("build profile"):
         pfreqs, pgapo, pgape, cols_list = build_profiles_batch(
-            [it[4] for it in items], cpad
+            ufams, cpad
         )
+    if dedup:
+        # bucket U to the next power of two for stable compile shapes
+        upad = min(B, 1 << max(U - 1, 0).bit_length())
+        if upad > U:
+            pz = ((0, upad - U),)
+            pfreqs = np.pad(pfreqs, pz + ((0, 0), (0, 0)))
+            pgapo = np.pad(pgapo, pz + ((0, 0),))
+            pgape = np.pad(pgape, pz + ((0, 0),))
     gapcost = (
         params.gap_open * pgapo + params.gap_ext * pgape
     ).astype(np.float32)
@@ -501,7 +527,7 @@ def _dispatch_profile_bucket(
     budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
     for b, it in enumerate(items):
         q = it[1]
-        cols = cols_list[b]
+        cols = cols_list[fam_idx[b]]
         C = len(cols)
         qmask[b, : len(q.masks)] = q.masks
         ql[b] = len(q.masks)
@@ -516,6 +542,7 @@ def _dispatch_profile_bucket(
         handle = profile_dp_dispatch(
             pfreqs, gapcost, qmask, ql, cr, params,
             budget=budget if aspace else None,
+            fam_idx=fam_idx if dedup else None,
         )
 
     def finalize():
@@ -526,9 +553,10 @@ def _dispatch_profile_bucket(
             eidx = np.nonzero(emit[b] >= 0)[0]
             head = int(eidx[0]) if len(eidx) else 0
             pairs = (emit[b][eidx], eidx)
-            ones = np.ones(len(cols_list[b]), dtype=np.float32)
+            cols = cols_list[fam_idx[b]]
+            ones = np.ones(len(cols), dtype=np.float32)
             results[idx] = finish_alignment(
-                queries[idx], q, cols_list[b], ones, width,
+                queries[idx], q, cols, ones, width,
                 pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
                 cfg, cw, refs, astats_names[idx], list(log),
             )

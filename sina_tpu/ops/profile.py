@@ -461,7 +461,8 @@ def _device_qprof(qmask):
 
 @functools.lru_cache(maxsize=64)
 def _profile_batched_fn(
-    C: int, M: int, params: DpParams, aspace: bool = False
+    C: int, M: int, params: DpParams, aspace: bool = False,
+    dedup: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -500,8 +501,14 @@ def _profile_batched_fn(
     if aspace:
         vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0, 0))
 
-        def packed(fgq, qmask, lens, budget):
+        def packed(fgq, qmask, lens, budget, fam_idx=None):
             fq, gc = _device_unpack_fgq(fgq, params)
+            if dedup:
+                # unique-profile transfer (amplicon workloads share
+                # families): fgq holds U<B unique profiles, fam_idx
+                # maps each query to its row
+                fq = jnp.take(fq, fam_idx, axis=0)
+                gc = jnp.take(gc, fam_idx, axis=0)
             out = vm(
                 fq, gc, _device_qprof(qmask),
                 lens[:, 0], lens[:, 1], budget,
@@ -511,8 +518,11 @@ def _profile_batched_fn(
         return jax.jit(packed)
     vm = jax.vmap(core, in_axes=(0, 0, 0, 0, 0))
 
-    def packed(fgq, qmask, lens):
+    def packed(fgq, qmask, lens, fam_idx=None):
         fq, gc = _device_unpack_fgq(fgq, params)
+        if dedup:
+            fq = jnp.take(fq, fam_idx, axis=0)
+            gc = jnp.take(gc, fam_idx, axis=0)
         out = vm(
             fq, gc, _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
@@ -551,7 +561,8 @@ def _unpack_result(packed: np.ndarray):
 
 @functools.lru_cache(maxsize=64)
 def _profile_pallas_fn(
-    C: int, M: int, params: DpParams, compact: bool = True
+    C: int, M: int, params: DpParams, compact: bool = True,
+    dedup: bool = False,
 ):
     """TPU fast path: Pallas chain kernel + device end-selection and
     traceback over the compact backpointer layout.  With ``compact``
@@ -644,8 +655,11 @@ def _profile_pallas_fn(
             return jnp.concatenate([log16, aux16], axis=1)
         return jnp.concatenate([log, aux], axis=1)
 
-    def packed(fgq, qmask, lens):
+    def packed(fgq, qmask, lens, fam_idx=None):
         fq, gc = _device_unpack_fgq(fgq, params)
+        if dedup:
+            fq = jnp.take(fq, fam_idx, axis=0)
+            gc = jnp.take(gc, fam_idx, axis=0)
         return fn(
             fq, gc, _device_qprof(qmask),
             lens[:, 0], lens[:, 1],
@@ -684,7 +698,7 @@ def _unpack_log_result(packed: np.ndarray, m_len: int):
 
 def profile_dp_dispatch(
     freqs, gapcost, qmask, qlen, c_real, params: DpParams,
-    budget=None,
+    budget=None, fam_idx=None,
 ):
     """Dispatch the batched profile DP WITHOUT fetching: freqs
     (B, C, 4), gapcost (B, C), qmask (B, M) uint8 IUPAC masks, qlen
@@ -695,7 +709,11 @@ def profile_dp_dispatch(
     asynchronously — callers overlap the in-flight work with host
     post-processing and fetch via profile_dp_fetch.  `budget` (B, C)
     enables the aspace-aware bounded-insertion mode
-    (--insertion=forbid; XLA path only)."""
+    (--insertion=forbid; XLA path only).  With `fam_idx` (B,) int32,
+    freqs/gapcost hold only the batch's UNIQUE profiles (U rows,
+    U <= B) and each query b aligns against row fam_idx[b] — the
+    device gathers, so duplicated families (common for amplicon
+    workloads) cross the host link once."""
     import jax
     import jax.numpy as jnp
 
@@ -703,6 +721,7 @@ def profile_dp_dispatch(
 
     t = get_timer("ProfileDP")
     C, M = freqs.shape[1], qmask.shape[1]
+    dedup = fam_idx is not None
     with t.section("pack fgq"):
         fg = _pack_fgq(freqs, gapcost, params)
         lens = np.stack(
@@ -712,19 +731,26 @@ def profile_dp_dispatch(
         fg_d = jnp.asarray(fg)
         qm_d = jnp.asarray(np.asarray(qmask, dtype=np.uint8))
         lens_d = jnp.asarray(lens)
+        fi_d = (
+            jnp.asarray(np.asarray(fam_idx, dtype=np.int32))
+            if dedup
+            else None
+        )
     kind = "xla"
     out = None
     with t.section("launch"):
         if budget is not None:
-            fn = _profile_batched_fn(C, M, params, aspace=True)
-            out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget))
+            fn = _profile_batched_fn(
+                C, M, params, aspace=True, dedup=dedup
+            )
+            out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget), fi_d)
         elif jax.default_backend() in ("tpu", "axon"):
             try:
                 compact = max(C, M) < 32000
                 fn = _profile_pallas_fn(
-                    C, M, params, compact=compact
+                    C, M, params, compact=compact, dedup=dedup
                 )
-                out = fn(fg_d, qm_d, lens_d)
+                out = fn(fg_d, qm_d, lens_d, fi_d)
                 kind = "log"
             except Exception as e:  # pragma: no cover - fallback
                 import logging
@@ -735,8 +761,8 @@ def profile_dp_dispatch(
                 )
                 out = None
         if out is None:
-            fn = _profile_batched_fn(C, M, params)
-            out = fn(fg_d, qm_d, lens_d)
+            fn = _profile_batched_fn(C, M, params, dedup=dedup)
+            out = fn(fg_d, qm_d, lens_d, fi_d)
         try:
             out.copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax

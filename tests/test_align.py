@@ -153,3 +153,53 @@ def test_host_traceback_matches_device():
         assert dev is not None and host is not None
         assert dev.positions.tolist() == host.positions.tolist()
         assert dev.masks.tolist() == host.masks.tolist()
+
+
+def test_batch_family_dedup_matches_individual():
+    """A batch where many queries share the same family object list
+    must produce exactly the results of per-query alignment (the
+    dedup'd unique-profile transfer is behaviour-neutral)."""
+    from sina_tpu.align import align_batch
+
+    db = testing.make_reference(
+        n_seqs=24, n_core=300, width=600, seed=11
+    )
+    shared_a = [(1.0, s) for s in db.sequences[:8]]
+    shared_b = [(1.0, s) for s in db.sequences[8:16]]
+    queries = [
+        unaligned_copy(q)
+        for q in testing.make_queries(db, n=6, seed=3, branch_len=0.7)
+    ]
+    fams = [
+        list(shared_a), list(shared_b), list(shared_a),
+        list(shared_a), list(shared_b), list(shared_a),
+    ]
+    batch = align_batch(queries, [list(f) for f in fams])
+    for q, f, got in zip(queries, fams, batch):
+        want = align_sequence(q, list(f))
+        assert got is not None and want is not None
+        assert got.positions.tolist() == want.positions.tolist()
+        assert got.get_attr("align_quality_slv") == want.get_attr(
+            "align_quality_slv"
+        )
+
+
+def test_batch_family_dedup_forbid_mode():
+    from sina_tpu.align import align_batch, INSERTION_FORBID
+
+    db = testing.make_reference(
+        n_seqs=16, n_core=300, width=600, seed=12
+    )
+    shared = [(1.0, s) for s in db.sequences[:8]]
+    cfg = AlignerConfig(insertion=INSERTION_FORBID)
+    queries = [
+        unaligned_copy(q)
+        for q in testing.make_queries(db, n=4, seed=5, branch_len=0.7)
+    ]
+    batch = align_batch(
+        queries, [list(shared) for _ in queries], cfg
+    )
+    for q, got in zip(queries, batch):
+        want = align_sequence(q, list(shared), cfg)
+        assert got is not None and want is not None
+        assert got.positions.tolist() == want.positions.tolist()
