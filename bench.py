@@ -41,6 +41,11 @@ def main() -> int:
         "second headline: 1M amplicons/h ~ 280 seq/s)",
     )
     ap.add_argument(
+        "--graph", action="store_true",
+        help="use the graph (mseq DAG) aligner engine instead of the "
+        "default profile chain (Pallas push-relaxation kernel on TPU)",
+    )
+    ap.add_argument(
         "--search", action="store_true",
         help="measure the search+LCA stage (candidate retrieval, "
         "comparator rescoring, taxonomy vote) instead of alignment",
@@ -150,7 +155,7 @@ def main() -> int:
         )
         return 0
 
-    acfg = AlignerConfig()
+    acfg = AlignerConfig(engine="graph" if args.graph else "auto")
 
     def dispatch(batch, handle=None):
         results = finder.process_batch(batch, handle=handle)
@@ -214,6 +219,8 @@ def main() -> int:
     else:
         metric = "full-length rRNA alignment throughput (1 chip)"
         baseline = BASELINE_SEQ_S
+    if args.graph:
+        metric += " [graph engine]"
     print(
         json.dumps(
             {

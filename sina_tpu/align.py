@@ -370,9 +370,49 @@ def align_batch(
     )
 
 
+def _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params):
+    """Run the Pallas graph kernel over VMEM-budgeted chunks of the
+    bucket; chunks are padded by edge-replication to keep compile
+    shapes stable.  Returns (emit, best_j, best_i, raw) across the
+    whole bucket."""
+    import jax.numpy as jnp
+
+    from .ops.graph_pallas import (
+        graph_dp_pallas, pick_chunk, pick_k_ring,
+    )
+
+    import jax
+
+    k = pick_k_ring(maxd)
+    bk = pick_chunk(mpad, k)
+    interp = jax.default_backend() not in ("tpu", "axon")
+    B = stacks[0].shape[0]
+    outs = []
+    for s in range(0, B, bk):
+        chunk = []
+        for a in stacks:
+            c = a[s : s + bk]
+            if c.shape[0] < bk:
+                pad = [(0, bk - c.shape[0])] + [(0, 0)] * (c.ndim - 1)
+                c = np.pad(c, pad, mode="edge")
+            chunk.append(jnp.asarray(c))
+        outs.append(
+            graph_dp_pallas(
+                *chunk, n_nodes=npad, m_len=mpad, k_ring=k,
+                params=params, interpret=interp,
+            )
+        )
+    if len(outs) == 1:
+        return tuple(a[:B] for a in outs[0])
+    return tuple(
+        jnp.concatenate([o[i] for o in outs])[:B] for i in range(4)
+    )
+
+
 def _dispatch_graph_bucket(
     items, npad, mpad, params, cfg, queries, astats_names, results
 ):
+    import jax
     import jax.numpy as jnp
 
     from .ops.graph import pad_graph
@@ -435,23 +475,31 @@ def _dispatch_graph_bucket(
         dists = np.where(valid, node_ids - preds_all, 0)
         maxd = int(dists.max()) if valid.any() else 0
         window = 32 if 0 < maxd < 32 else None
-        out = ak.poa_dp_batch(
-            jnp.asarray(np.stack([g.pos for g in g_list])),
-            jnp.asarray(
-                np.stack([g.mask.astype(np.int32) for g in g_list])
-            ),
-            jnp.asarray(np.stack([g.weight for g in g_list])),
-            jnp.asarray(preds_all),
-            jnp.asarray(np.stack([g.is_start for g in g_list])),
-            jnp.asarray(np.stack([g.is_end for g in g_list])),
-            jnp.asarray(qm),
-            jnp.asarray(ql),
-            jnp.asarray(nr),
-            jnp.asarray(cw_pad),
-            params,
-            max_insert=max_ins,
-            window=window,
+        stacks = (
+            np.stack([g.pos for g in g_list]),
+            np.stack([g.mask.astype(np.int32) for g in g_list]),
+            np.stack([g.weight for g in g_list]),
+            preds_all,
+            np.stack([g.is_start for g in g_list]),
+            np.stack([g.is_end for g in g_list]),
+            qm, ql, nr, cw_pad,
         )
+        use_pallas = (
+            max_ins is None
+            and window is not None
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        if use_pallas:
+            out = _graph_dp_pallas_chunked(
+                stacks, npad, mpad, maxd, params
+            )
+        else:
+            out = ak.poa_dp_batch(
+                *(jnp.asarray(a) for a in stacks),
+                params,
+                max_insert=max_ins,
+                window=window,
+            )
     for arr in out:
         try:
             arr.copy_to_host_async()

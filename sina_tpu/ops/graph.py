@@ -93,18 +93,19 @@ def build_graph(
         dst = np.zeros(0, np.int32)
 
     preds = np.full((n, MAX_PREDS), -1, dtype=np.int32)
-    pred_count = np.zeros(n, dtype=np.int32)
     has_succ = np.zeros(n, dtype=bool)
-    # edges sorted by dst (ekey sorted by src; re-sort)
+    # edges sorted by dst (stable keeps src ascending within dst, so
+    # pred slots are id-ascending); slot = rank within the dst group,
+    # ranks >= MAX_PREDS truncated (rare; documented deviation)
     order = np.argsort(dst, kind="stable")
-    for e in order:
-        d = int(dst[e])
-        c = pred_count[d]
-        if c < MAX_PREDS:
-            preds[d, c] = src[e]
-            pred_count[d] = c + 1
-        # else: truncate (rare; documented deviation)
-        has_succ[src[e]] = True
+    d_sorted = dst[order]
+    s_sorted = src[order]
+    first = np.searchsorted(d_sorted, d_sorted, side="left")
+    ranks = np.arange(len(d_sorted)) - first
+    keep = ranks < MAX_PREDS
+    preds[d_sorted[keep], ranks[keep]] = s_sorted[keep]
+    pred_count = np.bincount(dst, minlength=n).astype(np.int32)
+    has_succ[src] = True
 
     is_start = pred_count == 0
     is_end = ~has_succ

@@ -1,0 +1,479 @@
+"""Pallas TPU kernel for the POA graph DP (the mseq engine).
+
+The XLA graph cores (align_kernel.poa_dp_costs*) are bit-faithful but
+dispatch-bound: a ~4k-step sequential scan runs at ~8 seq/s regardless
+of carry size.  This kernel runs the whole topological loop inside one
+Mosaic kernel — one grid step per graph node, carry state resident in
+VMEM — eliminating the per-step dispatch entirely.
+
+Design (the "push-relaxation ring" of DESIGN.md, adapted to a gather):
+
+* Predecessor topo distances are tiny for MSA-derived POA graphs
+  (measured max 18, p99 = 8 at fs-max=40).  The last K rows of the V
+  and D lattices live in a (K, B, M) VMEM ring; node j's predecessors
+  are found by probing ring rows (j-d) mod K for d = 1..K-1.
+* Which distances are real predecessors is a per-(query, node) bitmask
+  (`predbits`, bit d set iff a pred sits at distance d) — the kernel
+  does a static K-1 loop of masked row minimums, pure VPU math with no
+  gathers and no data-dependent control flow.
+* Substitution costs are computed in-kernel from the node's IUPAC mask
+  row and the resident query masks, so no (N, B, M) cost tensor is
+  ever materialised in HBM; per-step traffic is a handful of (B,)
+  scalars in and one (B, M) uint16 backpointer row out.
+* Best-cell selection (mesh.h:569-592 semantics: all nodes at the last
+  query base, end nodes at any base) runs as running (value, j)
+  minima in VMEM scratch, reduced to a (B, 128) summary at the final
+  step — bit-compatible with the flat argmins of the XLA core.
+
+Backpointer rows are uint16:
+  bits 0-1   V choice (edge/match/del/ins)
+  bits 2-6   match predecessor distance (0 = none)
+  bits 7-11  deletion predecessor distance
+  bit  12    deletion opened here
+  bit  13    insertion opened here
+
+Tie-breaking matches align_kernel.poa_dp_costs: predecessor ties
+resolve to the lowest node id (= largest distance; pred slots are
+id-ascending so XLA's first-slot argmin picks the lowest id), the
+deletion track opens only on strict <, insertion wins V ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .align_kernel import CODE_DEL, CODE_MATCH, CODE_INS, DpParams
+
+BIG = 1e6
+
+CODE_EDGE = 0
+
+
+def _shift_right(x, n: int, fill):
+    from jax.experimental.pallas import tpu as pltpu
+
+    rolled = pltpu.roll(x, shift=n, axis=x.ndim - 1)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, x.shape, dimension=x.ndim - 1
+    )
+    return jnp.where(lane < n, jnp.asarray(fill, dtype=x.dtype), rolled)
+
+
+def _graph_kernel(
+    nmask_ref, subw_ref, dgo_ref, dge_ref, gio_ref, gie_ref,
+    predbits_ref, flags_ref,
+    qmask_ref, vlane_ref, llane_ref,
+    bp_ref, best_ref,
+    vring_ref, dring_ref, c1v_ref, c1j_ref, c2v_ref, c2j_ref,
+    *, match: float, mismatch: float, k_ring: int, m_len: int,
+    n_steps: int,
+):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(0)
+    B, M = qmask_ref.shape
+    K = k_ring
+
+    @pl.when(j == 0)
+    def _init():
+        vring_ref[...] = jnp.full((K, B, M), BIG, dtype=jnp.float32)
+        dring_ref[...] = jnp.full((K, B, M), BIG, dtype=jnp.float32)
+        c1v_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
+        c1j_ref[...] = jnp.zeros((B, M), dtype=jnp.float32)
+        c2v_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
+        c2j_ref[...] = jnp.zeros((B, M), dtype=jnp.float32)
+
+    nmask = nmask_ref[0, 0][:, None]        # (B, 1) int32
+    subw = subw_ref[0, 0][:, None]          # (B, 1) f32
+    dgo = dgo_ref[0, 0][:, None]
+    dge = dge_ref[0, 0][:, None]
+    gio = gio_ref[0, 0][:, None]
+    gie = gie_ref[0, 0][:, None]
+    predbits = predbits_ref[0, 0][:, None]  # (B, 1) int32
+    flags = flags_ref[0, 0][:, None]        # (B, 1) int32
+    start_b = (flags & 1) != 0
+    end_b = (flags & 2) != 0
+    valid_b = (flags & 4) != 0
+
+    qm = qmask_ref[...]                     # (B, M) int32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+
+    compat = (nmask & qm & 0xF) != 0
+    sub = jnp.where(
+        compat, jnp.float32(match), jnp.float32(mismatch)
+    ) * subw
+
+    # masked ring probe over predecessor distances.  Ascending d with
+    # <= keeps the largest distance on ties = the lowest pred node id,
+    # matching the XLA core's first-slot argmin over id-ascending
+    # pred lists.
+    # ring probe as an in-kernel fori_loop: a static unroll keeps
+    # every iteration's (B, M) temporaries live on the Mosaic stack
+    # and blows the VMEM budget; the loop form reuses one iteration's
+    # worth.  dopen carried as int32 (carried bool planes hit an
+    # unsupported i8->i1 trunci in Mosaic).
+    big = jnp.full((B, M), BIG, dtype=jnp.float32)
+    zeros_i = jnp.zeros((B, M), dtype=jnp.int32)
+
+    def probe(d, acc):
+        vmin, mdist, dmin, ddist, dopen = acc
+        ok = ((predbits >> d) & 1) != 0     # (B, 1)
+        row = jnp.remainder(j - d, K)
+        Vp = vring_ref[row]
+        Dp = dring_ref[row]
+        vc = jnp.where(ok, Vp, BIG)
+        upd = vc <= vmin
+        vmin = jnp.where(upd, vc, vmin)
+        mdist = jnp.where(upd, d, mdist)
+        do_ = jnp.where(ok, Vp + dgo, BIG)
+        de_ = jnp.where(ok, Dp + dge, BIG)
+        dc = jnp.minimum(do_, de_)
+        updd = dc <= dmin
+        dmin = jnp.where(updd, dc, dmin)
+        ddist = jnp.where(updd, d, ddist)
+        dopen = jnp.where(
+            updd, (do_ < de_).astype(jnp.int32), dopen
+        )
+        return vmin, mdist, dmin, ddist, dopen
+
+    vmin, mdist, dmin, ddist, dopen = jax.lax.fori_loop(
+        1, K, probe, (big, zeros_i, big, zeros_i, zeros_i)
+    )
+
+    edge = start_b | (lane == 0)
+    base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
+    Drow = jnp.minimum(base, dmin)
+
+    Mc = _shift_right(vmin, 1, BIG) + sub
+    mdist_sh = _shift_right(mdist, 1, 0)
+
+    U = base
+    codeU = jnp.zeros((B, M), dtype=jnp.int32)
+    take_d = dmin < U
+    U = jnp.where(take_d, dmin, U)
+    codeU = jnp.where(take_d, CODE_DEL, codeU)
+    take_m = Mc < U
+    U = jnp.where(take_m, Mc, U)
+    codeU = jnp.where(take_m, CODE_MATCH, codeU)
+
+    # insertion track: closed-form prefix-min by doubling
+    flane = lane.astype(jnp.float32)
+    cand = U + gio - (flane + 1.0) * gie
+    x = cand
+    n = 1
+    while n < m_len:
+        x = jnp.minimum(x, _shift_right(x, n, BIG))
+        n *= 2
+    prefix = jnp.minimum(_shift_right(x, 1, BIG), jnp.float32(1.0))
+    Irow = prefix + flane * gie
+    Iprev = _shift_right(Irow, 1, BIG)
+    Uprev = _shift_right(U, 1, BIG)
+    ins_opened = (Uprev + gio) <= (Iprev + gie)
+
+    take_i = Irow <= U
+    Vrow = jnp.where(take_i, Irow, U)
+    code = jnp.where(take_i, CODE_INS, codeU)
+
+    bp = (
+        code
+        | (mdist_sh << 2)
+        | (ddist << 7)
+        | (dopen << 12)
+        | (ins_opened.astype(jnp.int32) << 13)
+    )
+    bp_ref[0] = bp.astype(jnp.uint16)
+
+    slot = jnp.remainder(j, K)
+    vring_ref[slot] = Vrow
+    dring_ref[slot] = Drow
+
+    # running best-cell candidates (strict < keeps the earliest j,
+    # like the flat argmins of poa_dp_costs)
+    jf = j.astype(jnp.float32)
+    vlm = vlane_ref[...] != 0               # lane < qlen
+    llm = llane_ref[...] != 0               # lane == qlen-1
+    c1cand = jnp.where(llm & valid_b, Vrow, BIG)
+    c1v = c1v_ref[...]
+    upd1 = c1cand < c1v
+    c1v_ref[...] = jnp.where(upd1, c1cand, c1v)
+    c1j_ref[...] = jnp.where(upd1, jf, c1j_ref[...])
+    c2cand = jnp.where(end_b & valid_b & vlm, Vrow, BIG)
+    c2v = c2v_ref[...]
+    upd2 = c2cand < c2v
+    c2v_ref[...] = jnp.where(upd2, c2cand, c2v)
+    c2j_ref[...] = jnp.where(upd2, jf, c2j_ref[...])
+
+    @pl.when(j == n_steps - 1)
+    def _final():
+        # reduce the running candidates to (B,) summaries, packed into
+        # the (B, 128) output: col 0 = v1, 1 = j1, 2 = v2, 3 = j2,
+        # 4 = i2.  c2 ties resolve lexicographically (lowest j, then
+        # lowest lane) like the XLA flat argmin.
+        c1v = c1v_ref[...]
+        c1j = c1j_ref[...]
+        c2v = c2v_ref[...]
+        c2j = c2j_ref[...]
+        v1 = jnp.min(c1v, axis=1, keepdims=True)          # (B, 1)
+        j1 = jnp.min(
+            jnp.where(c1v == v1, c1j, jnp.float32(BIG)),
+            axis=1, keepdims=True,
+        )
+        v2 = jnp.min(c2v, axis=1, keepdims=True)
+        at2 = c2v == v2
+        j2 = jnp.min(
+            jnp.where(at2, c2j, jnp.float32(BIG)),
+            axis=1, keepdims=True,
+        )
+        flane2 = lane.astype(jnp.float32)
+        i2 = jnp.min(
+            jnp.where(at2 & (c2j == j2), flane2, jnp.float32(BIG)),
+            axis=1, keepdims=True,
+        )
+        out_lane = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        out = jnp.where(out_lane == 0, v1, jnp.float32(0.0))
+        out = jnp.where(out_lane == 1, j1, out)
+        out = jnp.where(out_lane == 2, v2, out)
+        out = jnp.where(out_lane == 3, j2, out)
+        out = jnp.where(out_lane == 4, i2, out)
+        best_ref[...] = out
+
+
+def traceback_device_dist(bp, best_j, best_i, is_start, n_nodes: int,
+                          m_len: int):
+    """On-device traceback over distance-coded backpointers (this
+    kernel's layout): predecessor = j - distance.  Same state machine
+    and semantics as align_kernel.traceback_device."""
+    _S_RESOLVE, _S_CHAIN, _S_DECIDE, _S_INS = 0, 1, 2, 3
+    _S_RESOLVE_NE, _S_CHAIN_NE, _S_DONE = 4, 5, 6
+    M = m_len
+
+    def cond(c):
+        return c[3] != _S_DONE
+
+    def body(c):
+        j, i, emit, state = c
+        cell = bp[j, i].astype(jnp.int32)
+        code = cell & 0x3
+        mdist = (cell >> 2) & 0x1F
+        ddist = (cell >> 7) & 0x1F
+        dopen = (cell >> 12) & 1
+        iopen = (cell >> 13) & 1
+        at_edge = (i == 0) | is_start[j]
+
+        def mk_resolve(emitting):
+            def s_resolve(_):
+                is_del = (code == CODE_DEL) & ~at_edge
+                chain = _S_CHAIN if emitting else _S_CHAIN_NE
+                if emitting:
+                    nxt_emit = jnp.where(
+                        is_del, emit, emit.at[i].set(j)
+                    )
+                else:
+                    nxt_emit = emit
+                ns = jnp.where(is_del, chain, _S_DECIDE)
+                return j, i, nxt_emit, ns
+            return s_resolve
+
+        def mk_chain(emitting):
+            def s_chain(_):
+                pj = jnp.where(ddist > 0, j - ddist, j)  # safety
+                pj = jnp.maximum(pj, 0)
+                stop = (dopen == 1) | is_start[pj]
+                resolve = _S_RESOLVE if emitting else _S_RESOLVE_NE
+                chain = _S_CHAIN if emitting else _S_CHAIN_NE
+                return pj, i, emit, jnp.where(stop, resolve, chain)
+            return s_chain
+
+        def s_decide(_):
+            done = at_edge | (code == CODE_EDGE)
+            is_m = code == CODE_MATCH
+            is_i = code == CODE_INS
+            pj = jnp.where(mdist > 0, j - mdist, j)
+            pj = jnp.maximum(pj, 0)
+            nj = jnp.where(is_m & ~done, pj, j)
+            ni = jnp.where(is_m & ~done, i - 1, i)
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(
+                    is_m, _S_RESOLVE,
+                    jnp.where(is_i, _S_INS, _S_CHAIN_NE),
+                ),
+            )
+            return nj, ni, emit, ns
+
+        def s_ins(_):
+            ni = i - 1
+            done = ni < 0
+            safe = jnp.maximum(ni, 0)
+            nxt_emit = jnp.where(done, emit, emit.at[safe].set(j))
+            ns = jnp.where(
+                done, _S_DONE,
+                jnp.where(iopen == 1, _S_DECIDE, _S_INS),
+            )
+            return j, safe, nxt_emit, ns
+
+        return jax.lax.switch(
+            state,
+            [
+                mk_resolve(True), mk_chain(True), s_decide, s_ins,
+                mk_resolve(False), mk_chain(False),
+            ],
+            None,
+        )
+
+    emit0 = jnp.full((M,), -1, dtype=jnp.int32)
+    j, i, emit, state = jax.lax.while_loop(
+        cond, body,
+        (
+            best_j.astype(jnp.int32),
+            best_i.astype(jnp.int32),
+            emit0,
+            jnp.int32(_S_RESOLVE),
+        ),
+    )
+    return emit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_nodes", "m_len", "k_ring", "params",
+                     "interpret"),
+)
+def graph_dp_pallas(
+    pos,          # (B, N) int32
+    mask,         # (B, N) int32
+    weight,       # (B, N) f32
+    preds,        # (B, N, P) int32, -1 pad
+    is_start,     # (B, N) bool
+    is_end,       # (B, N) bool
+    qmask,        # (B, M) int32
+    qlen,         # (B,) int32
+    n_real,       # (B,) int32
+    col_weights,  # (B, W) f32
+    n_nodes: int,
+    m_len: int,
+    k_ring: int,
+    params: DpParams,
+    interpret: bool = False,
+):
+    """Batched Pallas graph DP + device traceback.  Same contract as
+    align_kernel.poa_dp_batch: returns (emit (B, M) int32, best_j,
+    best_i, raw).  Requires every predecessor within k_ring topo
+    positions (the dispatcher checks)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N = pos.shape
+    M = m_len
+    K = k_ring
+    go = jnp.float32(params.gap_open)
+    ge = jnp.float32(params.gap_ext)
+
+    W = col_weights.shape[1]
+    wcol = jnp.take_along_axis(col_weights, pos, axis=1)      # (B, N)
+    wins = jnp.take_along_axis(
+        col_weights, jnp.minimum(pos + 1, W - 1), axis=1
+    )
+    subw = wcol * weight
+    dgo, dge = go * wcol, ge * wcol
+    gio, gie = go * wins, ge * wins
+
+    nodeid = jnp.arange(N, dtype=jnp.int32)[None, :, None]
+    dist = nodeid - preds                                     # (B, N, P)
+    okp = (preds >= 0) & (dist > 0) & (dist < K)
+    bits = jnp.where(
+        okp, jnp.left_shift(jnp.int32(1), jnp.clip(dist, 0, 31)), 0
+    )
+    predbits = bits[:, :, 0]
+    for p in range(1, bits.shape[2]):                          # (B, N)
+        predbits = predbits | bits[:, :, p]
+    flags = (
+        is_start.astype(jnp.int32)
+        | (is_end.astype(jnp.int32) << 1)
+        | ((jnp.arange(N)[None, :] < n_real[:, None]).astype(
+            jnp.int32) << 2)
+    )
+
+    def per_step(x, dt):
+        return x.T.reshape(N, 1, B).astype(dt)
+
+    lane = jnp.arange(M, dtype=jnp.int32)[None, :]
+    vlane = (lane < qlen[:, None]).astype(jnp.int32)
+    llane = (lane == qlen[:, None] - 1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _graph_kernel,
+        match=params.match, mismatch=params.mismatch,
+        k_ring=K, m_len=M, n_steps=N,
+    )
+    step_spec = pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0))
+    res_spec = pl.BlockSpec((B, M), lambda i: (0, 0))
+    bp, best = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[step_spec] * 8 + [res_spec] * 3,
+        out_specs=[
+            pl.BlockSpec((1, B, M), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, 128), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, B, M), jnp.uint16),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((K, B, M), jnp.float32),
+            pltpu.VMEM((K, B, M), jnp.float32),
+            pltpu.VMEM((B, M), jnp.float32),
+            pltpu.VMEM((B, M), jnp.float32),
+            pltpu.VMEM((B, M), jnp.float32),
+            pltpu.VMEM((B, M), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        per_step(mask, jnp.int32), per_step(subw, jnp.float32),
+        per_step(dgo, jnp.float32), per_step(dge, jnp.float32),
+        per_step(gio, jnp.float32), per_step(gie, jnp.float32),
+        per_step(predbits, jnp.int32), per_step(flags, jnp.int32),
+        qmask.astype(jnp.int32), vlane, llane,
+    )
+
+    v1, j1 = best[:, 0], best[:, 1]
+    v2, j2, i2 = best[:, 2], best[:, 3], best[:, 4]
+    # empty candidate sets leave BIG sentinels in j/i; clamp like the
+    # XLA argmin-of-all-BIG (index 0)
+    j1 = jnp.where(v1 >= BIG, 0.0, j1)
+    j2 = jnp.where(v2 >= BIG, 0.0, j2)
+    i2 = jnp.where(v2 >= BIG, 0.0, i2)
+    use2 = v2 < v1                                  # strict (mesh.h:588)
+    best_j = jnp.where(use2, j2, j1).astype(jnp.int32)
+    best_i = jnp.where(use2, i2.astype(jnp.int32), qlen - 1)
+    raw = jnp.where(use2, v2, v1)
+
+    emit = jax.vmap(
+        functools.partial(
+            traceback_device_dist, n_nodes=N, m_len=M
+        ),
+        in_axes=(1, 0, 0, 0),
+    )(bp, best_j, best_i, is_start)
+    return emit, best_j, best_i, raw
+
+
+def pick_k_ring(maxd: int) -> int:
+    """Smallest supported ring depth covering max pred distance."""
+    for k in (8, 12, 16, 20, 24, 32):
+        if maxd < k:
+            return k
+    return 0
+
+
+def pick_chunk(m_len: int, k_ring: int, budget_mb: float = 6.0) -> int:
+    """Largest power-of-two batch whose VMEM state (two (K, B, M)
+    rings + four (B, M) candidate planes) fits the budget."""
+    per_b = m_len * 4 * (2 * k_ring + 6)
+    b = int(budget_mb * 2**20 // per_b)
+    b = 1 << max(b.bit_length() - 1, 0)
+    return max(8, min(128, b))

@@ -1,0 +1,137 @@
+"""The Pallas graph-DP kernel (interpret mode on CPU) must reproduce
+the XLA graph core exactly: same emissions, best cell, raw score."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sina_tpu import testing
+from sina_tpu.ops import align_kernel as ak
+from sina_tpu.ops.align_kernel import DpParams
+from sina_tpu.ops.graph import build_graph, pad_graph
+from sina_tpu.ops.graph_pallas import (
+    graph_dp_pallas, pick_chunk, pick_k_ring,
+)
+
+
+def test_pallas_matches_xla_core():
+    db = testing.make_reference(n_seqs=40, n_core=200, width=350, seed=8)
+    n_queries = 4
+    graphs, raw_nodes, qs = [], [], []
+    for i in range(n_queries):
+        fam = db.sequences[3 * i : 3 * i + 10]
+        g = build_graph(fam)
+        raw_nodes.append(g.n_nodes)
+        graphs.append(g)
+        qs.append(
+            testing.unaligned_copy(
+                testing.make_queries(
+                    db, n=1, seed=100 + i, branch_len=0.5
+                )[0]
+            )
+        )
+    npad = -(-max(g.n_nodes for g in graphs) // 64) * 64
+    mpad = -(-max(len(q.masks) for q in qs) // 64) * 64
+    graphs = [pad_graph(g, npad) for g in graphs]
+    qm = np.zeros((n_queries, mpad), np.int32)
+    ql = np.zeros(n_queries, np.int32)
+    for b, q in enumerate(qs):
+        qm[b, : len(q.masks)] = q.masks
+        ql[b] = len(q.masks)
+    nr = np.asarray(raw_nodes, np.int32)
+    wmax = max(g.width for g in graphs) + 2
+    cw = np.random.RandomState(3).uniform(
+        0.5, 2.0, size=(n_queries, wmax)
+    ).astype(np.float32)
+
+    preds = np.stack([g.preds for g in graphs])
+    dists = np.arange(npad)[None, :, None] - preds
+    maxd = int(dists[preds >= 0].max())
+    k = pick_k_ring(maxd)
+    assert k > 0
+    assert pick_chunk(mpad, k) >= 8
+
+    params = DpParams()
+    args = (
+        jnp.asarray(np.stack([g.pos for g in graphs])),
+        jnp.asarray(
+            np.stack([g.mask.astype(np.int32) for g in graphs])
+        ),
+        jnp.asarray(np.stack([g.weight for g in graphs])),
+        jnp.asarray(preds),
+        jnp.asarray(np.stack([g.is_start for g in graphs])),
+        jnp.asarray(np.stack([g.is_end for g in graphs])),
+        jnp.asarray(qm),
+        jnp.asarray(ql),
+        jnp.asarray(nr),
+        jnp.asarray(cw),
+    )
+    ref = ak.poa_dp_batch(*args, params, window=32)
+    got = graph_dp_pallas(
+        *args, n_nodes=npad, m_len=mpad, k_ring=k, params=params,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[0]), np.asarray(got[0])
+    )  # emissions
+    np.testing.assert_array_equal(
+        np.asarray(ref[1]), np.asarray(got[1])
+    )  # best_j
+    np.testing.assert_array_equal(
+        np.asarray(ref[2]), np.asarray(got[2])
+    )  # best_i
+    np.testing.assert_array_equal(
+        np.asarray(ref[3]), np.asarray(got[3])
+    )  # raw score, bit-exact
+
+
+def test_chunked_dispatch_helper():
+    """align._graph_dp_pallas_chunked pads partial chunks by edge
+    replication; results must match the XLA core for the real rows."""
+    from sina_tpu.align import _graph_dp_pallas_chunked
+
+    db = testing.make_reference(n_seqs=40, n_core=200, width=350, seed=9)
+    n_queries = 3
+    graphs, raw_nodes, qs = [], [], []
+    for i in range(n_queries):
+        fam = db.sequences[4 * i : 4 * i + 8]
+        g = build_graph(fam)
+        raw_nodes.append(g.n_nodes)
+        graphs.append(g)
+        qs.append(
+            testing.unaligned_copy(
+                testing.make_queries(
+                    db, n=1, seed=200 + i, branch_len=0.5
+                )[0]
+            )
+        )
+    npad = -(-max(g.n_nodes for g in graphs) // 64) * 64
+    mpad = -(-max(len(q.masks) for q in qs) // 64) * 64
+    graphs = [pad_graph(g, npad) for g in graphs]
+    qm = np.zeros((n_queries, mpad), np.int32)
+    ql = np.zeros(n_queries, np.int32)
+    for b, q in enumerate(qs):
+        qm[b, : len(q.masks)] = q.masks
+        ql[b] = len(q.masks)
+    nr = np.asarray(raw_nodes, np.int32)
+    wmax = max(g.width for g in graphs) + 2
+    cw = np.ones((n_queries, wmax), np.float32)
+
+    preds = np.stack([g.preds for g in graphs])
+    dists = np.arange(npad)[None, :, None] - preds
+    maxd = int(dists[preds >= 0].max())
+    stacks = (
+        np.stack([g.pos for g in graphs]),
+        np.stack([g.mask.astype(np.int32) for g in graphs]),
+        np.stack([g.weight for g in graphs]),
+        preds,
+        np.stack([g.is_start for g in graphs]),
+        np.stack([g.is_end for g in graphs]),
+        qm, ql, nr, cw,
+    )
+    params = DpParams()
+    ref = ak.poa_dp_batch(
+        *(jnp.asarray(a) for a in stacks), params, window=32
+    )
+    got = _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
