@@ -258,6 +258,7 @@ def align_dispatch(
 
     engine = cfg.resolved_engine()
     todo = []  # (idx, q_upper, template, cw, refs, log)
+    graph_cache: dict[tuple, LinearGraph] = {}
     for idx, (query, family) in enumerate(zip(queries, families)):
         if not family:
             continue
@@ -277,8 +278,14 @@ def align_dispatch(
         top_score = family[0][0]  # dist for the subst-matrix scheme
         _t = get_timer("Aligner")
         if engine == "graph":
-            with _t.section("build graph"):
-                template = build_graph(refs, cfg.fs_weight)
+            # identical families (shared Sequence objects from the
+            # famfinder) build one graph, like the profile dedup
+            gkey = tuple(id(r) for r in refs)
+            template = graph_cache.get(gkey)
+            if template is None:
+                with _t.section("build graph"):
+                    template = build_graph(refs, cfg.fs_weight)
+                graph_cache[gkey] = template
             if cfg.debug_graph:
                 from .ops.graph import graph_to_dot
 
@@ -374,34 +381,50 @@ def _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params):
     """Run the Pallas graph kernel over VMEM-budgeted chunks of the
     bucket; chunks are padded by edge-replication to keep compile
     shapes stable.  Returns (emit, best_j, best_i, raw) across the
-    whole bucket."""
+    whole bucket.
+
+    Graph tensors are host-packed first (pack_graph_host): the tunnel
+    moves ~10-50MB/s so the (B, N, P) predecessor lists and boolean
+    planes must not ship raw — the packed form is ~3x fewer bytes."""
     import jax.numpy as jnp
 
     from .ops.graph_pallas import (
-        graph_dp_pallas, pick_chunk, pick_k_ring,
+        graph_dp_pallas_packed, pack_graph_host, pick_chunk,
+        pick_k_ring,
     )
 
     import jax
 
+    t = get_timer("GraphDP")
     k = pick_k_ring(maxd)
     bk = pick_chunk(mpad, k)
     interp = jax.default_backend() not in ("tpu", "axon")
-    B = stacks[0].shape[0]
-    outs = []
-    for s in range(0, B, bk):
-        chunk = []
-        for a in stacks:
-            c = a[s : s + bk]
-            if c.shape[0] < bk:
-                pad = [(0, bk - c.shape[0])] + [(0, 0)] * (c.ndim - 1)
-                c = np.pad(c, pad, mode="edge")
-            chunk.append(jnp.asarray(c))
-        outs.append(
-            graph_dp_pallas(
-                *chunk, n_nodes=npad, m_len=mpad, k_ring=k,
-                params=params, interpret=interp,
-            )
+    (pos, mask, weight, preds, is_start, is_end,
+     qm, ql, nr, cw) = stacks
+    with t.section("pack"):
+        mask_u8, predbits, flags = pack_graph_host(
+            mask, preds, is_start, is_end, nr
         )
+    packed = (pos, mask_u8, weight, predbits, flags, qm, ql, cw)
+    B = pos.shape[0]
+    outs = []
+    with t.section("launch"):
+        for s in range(0, B, bk):
+            chunk = []
+            for a in packed:
+                c = a[s : s + bk]
+                if c.shape[0] < bk:
+                    pad = [(0, bk - c.shape[0])] + [(0, 0)] * (
+                        c.ndim - 1
+                    )
+                    c = np.pad(c, pad, mode="edge")
+                chunk.append(jnp.asarray(c))
+            outs.append(
+                graph_dp_pallas_packed(
+                    *chunk, n_nodes=npad, m_len=mpad, k_ring=k,
+                    params=params, interpret=interp,
+                )
+            )
     if len(outs) == 1:
         return tuple(a[:B] for a in outs[0])
     return tuple(

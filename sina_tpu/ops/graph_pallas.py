@@ -338,11 +338,36 @@ def traceback_device_dist(bp, best_j, best_i, is_start, n_nodes: int,
     return emit
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_nodes", "m_len", "k_ring", "params",
-                     "interpret"),
-)
+def pack_graph_host(mask, preds, is_start, is_end, n_real):
+    """Host-side (numpy) compression of the graph tensors the kernel
+    actually consumes.  The tunnel moves ~10-50MB/s, so bytes dominate
+    dispatch: the (B, N, P) int32 predecessor lists collapse to a
+    per-node distance *bitmask* (B, N) int32 (8x fewer bytes at P=8),
+    and the three boolean planes + n_real fold into one (B, N) uint8
+    flag plane.  Bit-identical to the former on-device computation."""
+    mask = np.asarray(mask)
+    preds = np.asarray(preds)
+    is_start = np.asarray(is_start)
+    is_end = np.asarray(is_end)
+    n_real = np.asarray(n_real)
+    B, N = mask.shape
+    nodeid = np.arange(N, dtype=np.int64)[None, :, None]
+    dist = nodeid - preds                                   # (B, N, P)
+    okp = (preds >= 0) & (dist > 0) & (dist < 32)
+    bits = np.where(
+        okp, np.left_shift(np.uint32(1), dist.astype(np.uint32),
+                           dtype=np.uint32), np.uint32(0)
+    )
+    predbits = np.bitwise_or.reduce(bits, axis=2).view(np.int32)
+    flags = (
+        is_start.astype(np.uint8)
+        | (is_end.astype(np.uint8) << 1)
+        | ((np.arange(N)[None, :] < n_real[:, None]).astype(
+            np.uint8) << 2)
+    )
+    return mask.astype(np.uint8), predbits, flags
+
+
 def graph_dp_pallas(
     pos,          # (B, N) int32
     mask,         # (B, N) int32
@@ -353,6 +378,38 @@ def graph_dp_pallas(
     qmask,        # (B, M) int32
     qlen,         # (B,) int32
     n_real,       # (B,) int32
+    col_weights,  # (B, W) f32
+    n_nodes: int,
+    m_len: int,
+    k_ring: int,
+    params: DpParams,
+    interpret: bool = False,
+):
+    """Compatibility wrapper over graph_dp_pallas_packed: packs the
+    predecessor lists and flag planes on host (see pack_graph_host)."""
+    mask_u8, predbits, flags = pack_graph_host(
+        mask, preds, is_start, is_end, n_real
+    )
+    return graph_dp_pallas_packed(
+        pos, mask_u8, weight, predbits, flags, qmask, qlen,
+        col_weights, n_nodes=n_nodes, m_len=m_len, k_ring=k_ring,
+        params=params, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_nodes", "m_len", "k_ring", "params",
+                     "interpret"),
+)
+def graph_dp_pallas_packed(
+    pos,          # (B, N) int32
+    mask_u8,      # (B, N) uint8 IUPAC masks
+    weight,       # (B, N) f32
+    predbits,     # (B, N) int32 pred-distance bitmask
+    flags_u8,     # (B, N) uint8: bit0 start, bit1 end, bit2 real
+    qmask,        # (B, M) int32
+    qlen,         # (B,) int32
     col_weights,  # (B, W) f32
     n_nodes: int,
     m_len: int,
@@ -373,6 +430,16 @@ def graph_dp_pallas(
     go = jnp.float32(params.gap_open)
     ge = jnp.float32(params.gap_ext)
 
+    pos = jnp.asarray(pos)
+    mask = jnp.asarray(mask_u8).astype(jnp.int32)
+    weight = jnp.asarray(weight)
+    predbits = jnp.asarray(predbits)
+    flags = jnp.asarray(flags_u8).astype(jnp.int32)
+    qmask = jnp.asarray(qmask)
+    qlen = jnp.asarray(qlen)
+    col_weights = jnp.asarray(col_weights)
+    is_start = (flags & 1) != 0                               # (B, N)
+
     W = col_weights.shape[1]
     wcol = jnp.take_along_axis(col_weights, pos, axis=1)      # (B, N)
     wins = jnp.take_along_axis(
@@ -381,22 +448,6 @@ def graph_dp_pallas(
     subw = wcol * weight
     dgo, dge = go * wcol, ge * wcol
     gio, gie = go * wins, ge * wins
-
-    nodeid = jnp.arange(N, dtype=jnp.int32)[None, :, None]
-    dist = nodeid - preds                                     # (B, N, P)
-    okp = (preds >= 0) & (dist > 0) & (dist < K)
-    bits = jnp.where(
-        okp, jnp.left_shift(jnp.int32(1), jnp.clip(dist, 0, 31)), 0
-    )
-    predbits = bits[:, :, 0]
-    for p in range(1, bits.shape[2]):                          # (B, N)
-        predbits = predbits | bits[:, :, p]
-    flags = (
-        is_start.astype(jnp.int32)
-        | (is_end.astype(jnp.int32) << 1)
-        | ((jnp.arange(N)[None, :] < n_real[:, None]).astype(
-            jnp.int32) << 2)
-    )
 
     def per_step(x, dt):
         return x.T.reshape(N, 1, B).astype(dt)
