@@ -70,15 +70,15 @@ def _graph_kernel(
     bp_ref, best_ref,
     vring_ref, dring_ref, c1v_ref, c1j_ref, c2v_ref, c2j_ref,
     *, match: float, mismatch: float, k_ring: int, m_len: int,
-    n_steps: int,
+    n_steps: int, tile: int,
 ):
     from jax.experimental import pallas as pl
 
-    j = pl.program_id(0)
+    pid = pl.program_id(0)
     B, M = qmask_ref.shape
     K = k_ring
 
-    @pl.when(j == 0)
+    @pl.when(pid == 0)
     def _init():
         vring_ref[...] = jnp.full((K, B, M), BIG, dtype=jnp.float32)
         dring_ref[...] = jnp.full((K, B, M), BIG, dtype=jnp.float32)
@@ -87,127 +87,138 @@ def _graph_kernel(
         c2v_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
         c2j_ref[...] = jnp.zeros((B, M), dtype=jnp.float32)
 
-    nmask = nmask_ref[0, 0][:, None]        # (B, 1) int32
-    subw = subw_ref[0, 0][:, None]          # (B, 1) f32
-    dgo = dgo_ref[0, 0][:, None]
-    dge = dge_ref[0, 0][:, None]
-    gio = gio_ref[0, 0][:, None]
-    gie = gie_ref[0, 0][:, None]
-    predbits = predbits_ref[0, 0][:, None]  # (B, 1) int32
-    flags = flags_ref[0, 0][:, None]        # (B, 1) int32
-    start_b = (flags & 1) != 0
-    end_b = (flags & 2) != 0
-    valid_b = (flags & 4) != 0
-
     qm = qmask_ref[...]                     # (B, M) int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-
-    compat = (nmask & qm & 0xF) != 0
-    sub = jnp.where(
-        compat, jnp.float32(match), jnp.float32(mismatch)
-    ) * subw
-
-    # masked ring probe over predecessor distances.  Ascending d with
-    # <= keeps the largest distance on ties = the lowest pred node id,
-    # matching the XLA core's first-slot argmin over id-ascending
-    # pred lists.
-    # ring probe as an in-kernel fori_loop: a static unroll keeps
-    # every iteration's (B, M) temporaries live on the Mosaic stack
-    # and blows the VMEM budget; the loop form reuses one iteration's
-    # worth.  dopen carried as int32 (carried bool planes hit an
-    # unsupported i8->i1 trunci in Mosaic).
+    vlm = vlane_ref[...] != 0               # lane < qlen
+    llm = llane_ref[...] != 0               # lane == qlen-1
     big = jnp.full((B, M), BIG, dtype=jnp.float32)
     zeros_i = jnp.zeros((B, M), dtype=jnp.int32)
 
-    def probe(d, acc):
-        vmin, mdist, dmin, ddist, dopen = acc
-        ok = ((predbits >> d) & 1) != 0     # (B, 1)
-        row = jnp.remainder(j - d, K)
-        Vp = vring_ref[row]
-        Dp = dring_ref[row]
-        vc = jnp.where(ok, Vp, BIG)
-        upd = vc <= vmin
-        vmin = jnp.where(upd, vc, vmin)
-        mdist = jnp.where(upd, d, mdist)
-        do_ = jnp.where(ok, Vp + dgo, BIG)
-        de_ = jnp.where(ok, Dp + dge, BIG)
-        dc = jnp.minimum(do_, de_)
-        updd = dc <= dmin
-        dmin = jnp.where(updd, dc, dmin)
-        ddist = jnp.where(updd, d, ddist)
-        dopen = jnp.where(
-            updd, (do_ < de_).astype(jnp.int32), dopen
+    # `tile` graph nodes are relaxed per grid step: one node's (B, M)
+    # row math is far too little work to amortise the per-step grid
+    # machinery, so the node loop runs *inside* the kernel and the
+    # grid shrinks n_steps/tile-fold.  The loop is sequential either
+    # way (ring dependencies); semantics are identical.
+    def node_step(t, _):
+        j = pid * tile + t
+        nmask = nmask_ref[t, 0][:, None]        # (B, 1) int32
+        subw = subw_ref[t, 0][:, None]          # (B, 1) f32
+        dgo = dgo_ref[t, 0][:, None]
+        dge = dge_ref[t, 0][:, None]
+        gio = gio_ref[t, 0][:, None]
+        gie = gie_ref[t, 0][:, None]
+        predbits = predbits_ref[t, 0][:, None]  # (B, 1) int32
+        flags = flags_ref[t, 0][:, None]        # (B, 1) int32
+        start_b = (flags & 1) != 0
+        end_b = (flags & 2) != 0
+        valid_b = (flags & 4) != 0
+
+        compat = (nmask & qm & 0xF) != 0
+        sub = jnp.where(
+            compat, jnp.float32(match), jnp.float32(mismatch)
+        ) * subw
+
+        # masked ring probe over predecessor distances.  Ascending d
+        # with <= keeps the largest distance on ties = the lowest
+        # pred node id, matching the XLA core's first-slot argmin
+        # over id-ascending pred lists.
+        # ring probe as an in-kernel fori_loop: a static unroll keeps
+        # every iteration's (B, M) temporaries live on the Mosaic
+        # stack and blows the VMEM budget; the loop form reuses one
+        # iteration's worth.  dopen carried as int32 (carried bool
+        # planes hit an unsupported i8->i1 trunci in Mosaic).
+        def probe(d, acc):
+            vmin, mdist, dmin, ddist, dopen = acc
+            ok = ((predbits >> d) & 1) != 0     # (B, 1)
+            row = jnp.remainder(j - d, K)
+            Vp = vring_ref[row]
+            Dp = dring_ref[row]
+            vc = jnp.where(ok, Vp, BIG)
+            upd = vc <= vmin
+            vmin = jnp.where(upd, vc, vmin)
+            mdist = jnp.where(upd, d, mdist)
+            do_ = jnp.where(ok, Vp + dgo, BIG)
+            de_ = jnp.where(ok, Dp + dge, BIG)
+            dc = jnp.minimum(do_, de_)
+            updd = dc <= dmin
+            dmin = jnp.where(updd, dc, dmin)
+            ddist = jnp.where(updd, d, ddist)
+            dopen = jnp.where(
+                updd, (do_ < de_).astype(jnp.int32), dopen
+            )
+            return vmin, mdist, dmin, ddist, dopen
+
+        vmin, mdist, dmin, ddist, dopen = jax.lax.fori_loop(
+            1, K, probe, (big, zeros_i, big, zeros_i, zeros_i)
         )
-        return vmin, mdist, dmin, ddist, dopen
 
-    vmin, mdist, dmin, ddist, dopen = jax.lax.fori_loop(
-        1, K, probe, (big, zeros_i, big, zeros_i, zeros_i)
-    )
+        edge = start_b | (lane == 0)
+        base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
+        Drow = jnp.minimum(base, dmin)
 
-    edge = start_b | (lane == 0)
-    base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
-    Drow = jnp.minimum(base, dmin)
+        Mc = _shift_right(vmin, 1, BIG) + sub
+        mdist_sh = _shift_right(mdist, 1, 0)
 
-    Mc = _shift_right(vmin, 1, BIG) + sub
-    mdist_sh = _shift_right(mdist, 1, 0)
+        U = base
+        codeU = jnp.zeros((B, M), dtype=jnp.int32)
+        take_d = dmin < U
+        U = jnp.where(take_d, dmin, U)
+        codeU = jnp.where(take_d, CODE_DEL, codeU)
+        take_m = Mc < U
+        U = jnp.where(take_m, Mc, U)
+        codeU = jnp.where(take_m, CODE_MATCH, codeU)
 
-    U = base
-    codeU = jnp.zeros((B, M), dtype=jnp.int32)
-    take_d = dmin < U
-    U = jnp.where(take_d, dmin, U)
-    codeU = jnp.where(take_d, CODE_DEL, codeU)
-    take_m = Mc < U
-    U = jnp.where(take_m, Mc, U)
-    codeU = jnp.where(take_m, CODE_MATCH, codeU)
+        # insertion track: closed-form prefix-min by doubling
+        flane = lane.astype(jnp.float32)
+        cand = U + gio - (flane + 1.0) * gie
+        x = cand
+        n = 1
+        while n < m_len:
+            x = jnp.minimum(x, _shift_right(x, n, BIG))
+            n *= 2
+        prefix = jnp.minimum(
+            _shift_right(x, 1, BIG), jnp.float32(1.0)
+        )
+        Irow = prefix + flane * gie
+        Iprev = _shift_right(Irow, 1, BIG)
+        Uprev = _shift_right(U, 1, BIG)
+        ins_opened = (Uprev + gio) <= (Iprev + gie)
 
-    # insertion track: closed-form prefix-min by doubling
-    flane = lane.astype(jnp.float32)
-    cand = U + gio - (flane + 1.0) * gie
-    x = cand
-    n = 1
-    while n < m_len:
-        x = jnp.minimum(x, _shift_right(x, n, BIG))
-        n *= 2
-    prefix = jnp.minimum(_shift_right(x, 1, BIG), jnp.float32(1.0))
-    Irow = prefix + flane * gie
-    Iprev = _shift_right(Irow, 1, BIG)
-    Uprev = _shift_right(U, 1, BIG)
-    ins_opened = (Uprev + gio) <= (Iprev + gie)
+        take_i = Irow <= U
+        Vrow = jnp.where(take_i, Irow, U)
+        code = jnp.where(take_i, CODE_INS, codeU)
 
-    take_i = Irow <= U
-    Vrow = jnp.where(take_i, Irow, U)
-    code = jnp.where(take_i, CODE_INS, codeU)
+        bp = (
+            code
+            | (mdist_sh << 2)
+            | (ddist << 7)
+            | (dopen << 12)
+            | (ins_opened.astype(jnp.int32) << 13)
+        )
+        bp_ref[t] = bp.astype(jnp.uint16)
 
-    bp = (
-        code
-        | (mdist_sh << 2)
-        | (ddist << 7)
-        | (dopen << 12)
-        | (ins_opened.astype(jnp.int32) << 13)
-    )
-    bp_ref[0] = bp.astype(jnp.uint16)
+        slot = jnp.remainder(j, K)
+        vring_ref[slot] = Vrow
+        dring_ref[slot] = Drow
 
-    slot = jnp.remainder(j, K)
-    vring_ref[slot] = Vrow
-    dring_ref[slot] = Drow
+        # running best-cell candidates (strict < keeps the earliest
+        # j, like the flat argmins of poa_dp_costs)
+        jf = j.astype(jnp.float32)
+        c1cand = jnp.where(llm & valid_b, Vrow, BIG)
+        c1v = c1v_ref[...]
+        upd1 = c1cand < c1v
+        c1v_ref[...] = jnp.where(upd1, c1cand, c1v)
+        c1j_ref[...] = jnp.where(upd1, jf, c1j_ref[...])
+        c2cand = jnp.where(end_b & valid_b & vlm, Vrow, BIG)
+        c2v = c2v_ref[...]
+        upd2 = c2cand < c2v
+        c2v_ref[...] = jnp.where(upd2, c2cand, c2v)
+        c2j_ref[...] = jnp.where(upd2, jf, c2j_ref[...])
+        return 0
 
-    # running best-cell candidates (strict < keeps the earliest j,
-    # like the flat argmins of poa_dp_costs)
-    jf = j.astype(jnp.float32)
-    vlm = vlane_ref[...] != 0               # lane < qlen
-    llm = llane_ref[...] != 0               # lane == qlen-1
-    c1cand = jnp.where(llm & valid_b, Vrow, BIG)
-    c1v = c1v_ref[...]
-    upd1 = c1cand < c1v
-    c1v_ref[...] = jnp.where(upd1, c1cand, c1v)
-    c1j_ref[...] = jnp.where(upd1, jf, c1j_ref[...])
-    c2cand = jnp.where(end_b & valid_b & vlm, Vrow, BIG)
-    c2v = c2v_ref[...]
-    upd2 = c2cand < c2v
-    c2v_ref[...] = jnp.where(upd2, c2cand, c2v)
-    c2j_ref[...] = jnp.where(upd2, jf, c2j_ref[...])
+    jax.lax.fori_loop(0, tile, node_step, 0)
 
-    @pl.when(j == n_steps - 1)
+    @pl.when(pid == n_steps // tile - 1)
     def _final():
         # reduce the running candidates to (B,) summaries, packed into
         # the (B, 128) output: col 0 = v1, 1 = j1, 2 = v2, 3 = j2,
@@ -456,19 +467,20 @@ def graph_dp_pallas_packed(
     vlane = (lane < qlen[:, None]).astype(jnp.int32)
     llane = (lane == qlen[:, None] - 1).astype(jnp.int32)
 
+    T = pick_tile(N, B, M, K)
     kernel = functools.partial(
         _graph_kernel,
         match=params.match, mismatch=params.mismatch,
-        k_ring=K, m_len=M, n_steps=N,
+        k_ring=K, m_len=M, n_steps=N, tile=T,
     )
-    step_spec = pl.BlockSpec((1, 1, B), lambda i: (i, 0, 0))
+    step_spec = pl.BlockSpec((T, 1, B), lambda i: (i, 0, 0))
     res_spec = pl.BlockSpec((B, M), lambda i: (0, 0))
     bp, best = pl.pallas_call(
         kernel,
-        grid=(N,),
+        grid=(N // T,),
         in_specs=[step_spec] * 8 + [res_spec] * 3,
         out_specs=[
-            pl.BlockSpec((1, B, M), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T, B, M), lambda i: (i, 0, 0)),
             pl.BlockSpec((B, 128), lambda i: (0, 0)),
         ],
         out_shape=[
@@ -511,6 +523,19 @@ def graph_dp_pallas_packed(
         in_axes=(1, 0, 0, 0),
     )(bp, best_j, best_i, is_start)
     return emit, best_j, best_i, raw
+
+
+def pick_tile(n_nodes: int, b: int, m_len: int, k_ring: int,
+              budget_mb: float = 6.0) -> int:
+    """Nodes relaxed per grid step: largest power-of-two divisor of
+    n_nodes whose double-buffered (T, B, M) uint16 backpointer block
+    fits the budget (the ring/candidate scratch has its own budget in
+    pick_chunk)."""
+    t_max = int(budget_mb * 2**20 // (b * m_len * 2 * 2))
+    t = 1
+    while t * 2 <= min(64, max(t_max, 1)) and n_nodes % (t * 2) == 0:
+        t *= 2
+    return t
 
 
 def pick_k_ring(maxd: int) -> int:
