@@ -483,7 +483,8 @@ class FamFinder:
         )
         vals, ids = self.score_topk(mask_list, k0)
 
-        out = []
+        out: list[FamilyResult | None] = [None] * B
+        reoriented: list[tuple[int, Sequence]] = []
         for b, q in enumerate(queries):
             row = b * variants_per
             if cfg.turn != TURN_NONE:
@@ -508,36 +509,71 @@ class FamFinder:
                 if best in (2, 3):
                     q.complement()
                 if best != 0:
-                    # orientation changed: rescore this query alone
-                    v1, i1 = self.score_topk([q.masks], k0)
-                    ranked = [
-                        (float(v), int(i))
-                        for v, i in zip(v1[0], i1[0])
-                        if v >= 0
-                    ]
-                    out.append(self._finish(q, ranked=ranked))
+                    # orientation changed: rescore, batched with the
+                    # other reoriented queries below (one device call
+                    # total even for revcomp-heavy batches)
+                    reoriented.append((b, q))
                     continue
             ranked = [
                 (float(v), int(i))
                 for v, i in zip(vals[row], ids[row])
                 if v >= 0
             ]
-            out.append(
-                self._finish(q, ranked=ranked, allow_refetch=False)
+            out[b] = self._finish(
+                q, ranked=ranked, allow_refetch=False
             )
+        if reoriented:
+            v1, i1 = self.score_topk(
+                [q.masks for _, q in reoriented], k0
+            )
+            for row, (b, q) in enumerate(reoriented):
+                ranked = [
+                    (float(v), int(i))
+                    for v, i in zip(v1[row], i1[row])
+                    if v >= 0
+                ]
+                out[b] = self._finish(
+                    q, ranked=ranked, allow_refetch=False
+                )
         self._finish_escalated(queries, out)
         return out
 
     def _finish_escalated(self, queries, out) -> None:
-        """One batched full-scoring call for every query whose
-        candidate list ran out during constraint escalation
-        (famfinder.cpp:591-608's x10 retry, batched)."""
+        """Batched constraint-escalation refetch
+        (famfinder.cpp:591-608's x10 retry): queries whose candidate
+        list ran out are re-scored together at an escalating device
+        top-k (x10 per rung) so only O(B*k) candidates cross the
+        host link instead of full (B, n_seqs) score rows."""
         todo = [b for b, r in enumerate(out) if r is None]
         if not todo:
             return
-        scores = self.score_batch([queries[b].masks for b in todo])
-        for row, b in enumerate(todo):
-            out[b] = self._finish(queries[b], scores=scores[row])
+        n = self.index.n_seqs
+        k = min(
+            max(4 * self.cfg.fs_max + 16, 256) * 10, n
+        )
+        while todo:
+            vals, ids = self.score_topk(
+                [queries[b].masks for b in todo], k
+            )
+            still: list[int] = []
+            for row, b in enumerate(todo):
+                ranked = [
+                    (float(v), int(i))
+                    for v, i in zip(vals[row], ids[row])
+                    if v >= 0
+                ]
+                res = self._finish(
+                    queries[b], ranked=ranked,
+                    allow_refetch=(k >= n),
+                )
+                if res is None:
+                    still.append(b)
+                else:
+                    out[b] = res
+            todo = still
+            if k >= n:
+                break
+            k = min(k * 10, n)
 
     def __call__(self, query: Sequence) -> FamilyResult:
         self.apply_turn(query)

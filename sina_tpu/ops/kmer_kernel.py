@@ -211,6 +211,29 @@ def kmer_scores_packed_pallas(Pp, kmers, interpret: bool = False):
     return out.transpose(0, 2, 1).reshape(B, Sb * 8)
 
 
+_pallas_fallback_warned = False
+
+
+def _pallas_failed(exc: Exception) -> None:
+    """A broken Pallas kernel costs ~10x famfinder throughput — never
+    swallow it silently.  SINA_TPU_STRICT_PALLAS=1 makes it fatal."""
+    import os
+
+    if os.environ.get("SINA_TPU_STRICT_PALLAS"):
+        raise exc
+    global _pallas_fallback_warned
+    if not _pallas_fallback_warned:
+        _pallas_fallback_warned = True
+        import logging
+
+        logging.getLogger("sina_tpu.kmer").warning(
+            "Pallas k-mer kernel failed, falling back to XLA "
+            "(~10x slower famfinder); set SINA_TPU_STRICT_PALLAS=1 "
+            "to make this fatal: %r",
+            exc,
+        )
+
+
 def kmer_scores(P, kmers):
     """Dispatch on matrix layout (uint8 = bitpacked, int8 = dense)
     and backend (Pallas on TPU, XLA elsewhere)."""
@@ -220,8 +243,8 @@ def kmer_scores(P, kmers):
             if packed:
                 return kmer_scores_packed_pallas(P, kmers)
             return kmer_scores_pallas(P, kmers)
-        except Exception:  # pragma: no cover - fallback safety
-            pass
+        except Exception as exc:  # pragma: no cover - fallback safety
+            _pallas_failed(exc)
     if packed:
         return kmer_scores_packed_xla(P, kmers)
     return kmer_scores_xla(P, kmers)
