@@ -66,12 +66,22 @@ def main() -> int:
     from sina_tpu.famfinder import FamFinder, FamFinderConfig
 
     t0 = time.time()
-    db = testing.make_reference(
-        n_seqs=args.n_refs,
-        n_core=args.n_core,
-        width=args.width,
-        seed=1234,
-    )
+    if args.n_refs > 5000:
+        # tree generator is O(width) per node; the block generator
+        # handles SILVA-scale (100k+ seqs, 50k cols) in seconds
+        db = testing.make_reference_large(
+            args.n_refs,
+            n_core=args.n_core,
+            width=args.width,
+            seed=1234,
+        )
+    else:
+        db = testing.make_reference(
+            n_seqs=args.n_refs,
+            n_core=args.n_core,
+            width=args.width,
+            seed=1234,
+        )
     queries = [
         testing.unaligned_copy(q)
         for q in testing.make_queries(

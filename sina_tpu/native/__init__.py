@@ -29,7 +29,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                str(_SRC), "-o", str(_SO),
+                "-pthread", str(_SRC), "-o", str(_SO),
             ],
             check=True,
             capture_output=True,
@@ -109,8 +109,69 @@ def get_lib():
         ctypes.c_long, ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_build_kmer_lists.restype = ctypes.c_long
+    lib.sina_build_kmer_lists.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+    ]
+    lib.sina_fill_packed.restype = ctypes.c_long
+    lib.sina_fill_packed.argtypes = [
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_longlong, ctypes.c_long,
+    ]
     _lib = lib
     return _lib
+
+
+def _n_threads() -> int:
+    import os
+
+    return max(1, os.cpu_count() or 1)
+
+
+def build_kmer_lists(flat_masks, offsets, k: int, fast: bool):
+    """Parallel per-sequence unique k-mer extraction (the index-build
+    hot path, kmer_search.cpp:152-211's parallel_reduce role).
+    Returns (seq_kmers int32, seq_offsets int64) CSR or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_seqs = len(offsets) - 1
+    total = int(offsets[-1])
+    out_kmers = np.empty(max(total, 1), dtype=np.int32)
+    out_offsets = np.empty(n_seqs + 1, dtype=np.int64)
+    rc = lib.sina_build_kmer_lists(
+        np.ascontiguousarray(flat_masks, np.uint8),
+        np.ascontiguousarray(offsets, np.int64),
+        n_seqs, k, 1 if fast else 0,
+        out_kmers, out_offsets, _n_threads(),
+    )
+    if rc != 0:
+        return None
+    return out_kmers[: int(out_offsets[-1])].copy(), out_offsets
+
+
+def fill_packed(seq_kmers, seq_offsets, n_seqs: int, P) -> bool:
+    """Parallel bitpacked incidence fill: P[kmer, s>>3] |= 1<<(s&7).
+    P must be a zeroed C-contiguous (rows, row_bytes) uint8 array.
+    Returns False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    rc = lib.sina_fill_packed(
+        np.ascontiguousarray(seq_kmers, np.int32),
+        np.ascontiguousarray(seq_offsets, np.int64),
+        n_seqs, P, P.shape[1], _n_threads(),
+    )
+    return rc == 0
 
 
 def score_counts(

@@ -9,8 +9,11 @@
 // semantics): 4-bit base bitmask + lowercase bit; '-' and '.' advance
 // the column counter without emitting a base; whitespace is skipped.
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -334,6 +337,144 @@ long sina_score_counts(
         row[4] = r_lo;
         row[5] = r_hi;
     }
+    return 0;
+}
+
+// Parallel per-sequence unique-k-mer extraction over the flat base
+// store — the index-build hot path (role of the reference's
+// tbb::parallel_reduce IndexBuilder, kmer_search.cpp:152-211).
+//
+//   flat_masks[offsets[n_seqs]]  IUPAC bitmasks (low 4 bits used)
+//   offsets[n_seqs+1]            per-sequence base ranges
+//   k                            k-mer length
+//   prefix_a                     1 = "fast" mode: keep only k-mers
+//                                starting with A, emit the (k-1)-mer
+//                                tail value (< 4^(k-1))
+//   out_kmers[offsets[n_seqs]]   compacted CSR payload (sorted unique
+//                                k-mers per sequence)
+//   out_offsets[n_seqs+1]        CSR offsets into out_kmers
+//
+// Pass 1 writes each sequence's list at its bound offset (offsets[i])
+// in parallel; pass 2 compacts serially (memmove-bound).
+long sina_build_kmer_lists(
+    const unsigned char* flat_masks, const long long* offsets,
+    long n_seqs, long k, long prefix_a,
+    int* out_kmers, long long* out_offsets, long n_threads) {
+    if (k < 1 || k > 15) return -1;
+    std::vector<long long> counts((size_t)n_seqs, 0);
+    const unsigned int kmask =
+        (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+    const int shift_first = 2 * (int)(k - 1);
+
+    auto worker = [&](std::atomic<long>* next) {
+        std::vector<int> buf;
+        for (;;) {
+            long i = next->fetch_add(1);
+            if (i >= n_seqs) break;
+            long long lo = offsets[i], hi = offsets[i + 1];
+            long long n = hi - lo;
+            buf.clear();
+            if (n >= k) {
+                unsigned int val = 0;
+                int run = 0;
+                for (long long j = lo; j < hi; ++j) {
+                    unsigned m = flat_masks[j] & 0xF;
+                    // unambiguous = exactly one bit set
+                    if (m && !(m & (m - 1))) {
+                        val = ((val << 2) |
+                               (unsigned)__builtin_ctz(m)) & kmask;
+                        if (++run >= k) {
+                            if (!prefix_a ||
+                                (val >> shift_first) == 0)
+                                buf.push_back((int)val);
+                        }
+                    } else {
+                        run = 0;
+                        val = 0;
+                    }
+                }
+            }
+            std::sort(buf.begin(), buf.end());
+            buf.erase(std::unique(buf.begin(), buf.end()),
+                      buf.end());
+            counts[(size_t)i] = (long long)buf.size();
+            std::memcpy(out_kmers + lo, buf.data(),
+                        buf.size() * sizeof(int));
+        }
+    };
+
+    long nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_seqs) nt = n_seqs > 0 ? n_seqs : 1;
+    std::atomic<long> next(0);
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t)
+        threads.emplace_back(worker, &next);
+    worker(&next);
+    for (auto& th : threads) th.join();
+
+    out_offsets[0] = 0;
+    for (long i = 0; i < n_seqs; ++i) {
+        long long dst = out_offsets[i];
+        long long src = offsets[i];
+        if (dst != src && counts[(size_t)i])
+            std::memmove(out_kmers + dst, out_kmers + src,
+                         (size_t)counts[(size_t)i] * sizeof(int));
+        out_offsets[i + 1] = dst + counts[(size_t)i];
+    }
+    return 0;
+}
+
+// Parallel bitpacked incidence-matrix fill from CSR k-mer lists:
+// P[kmer_row, seq/8] |= 1 << (seq%8).
+//
+// Direct seq-major scatter thrashes TLB/caches on a multi-GB matrix
+// (random row per posting).  Instead: counting-sort the postings into
+// row-major order (compact int32 buffer), then fill P row-by-row in
+// parallel with sequential writes.
+long sina_fill_packed(
+    const int* seq_kmers, const long long* seq_offsets,
+    long n_seqs, unsigned char* P, long long row_bytes,
+    long n_threads) {
+    const long long total = seq_offsets[n_seqs];
+    long long n_rows = 0;
+    for (long long j = 0; j < total; ++j)
+        if (seq_kmers[j] >= n_rows) n_rows = seq_kmers[j] + 1;
+    // pass 1: per-row posting counts
+    std::vector<long long> starts((size_t)n_rows + 1, 0);
+    for (long long j = 0; j < total; ++j)
+        ++starts[(size_t)seq_kmers[j] + 1];
+    for (long long r = 0; r < n_rows; ++r)
+        starts[(size_t)r + 1] += starts[(size_t)r];
+    // pass 2: scatter sequence ids into row-major order
+    std::vector<int> by_row((size_t)total);
+    {
+        std::vector<long long> cur(starts.begin(),
+                                   starts.end() - 1);
+        for (long s = 0; s < n_seqs; ++s)
+            for (long long j = seq_offsets[s];
+                 j < seq_offsets[s + 1]; ++j)
+                by_row[(size_t)cur[(size_t)seq_kmers[j]]++] = (int)s;
+    }
+    // pass 3: parallel sequential row fill
+    long nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_rows) nt = n_rows > 0 ? n_rows : 1;
+    long long chunk = (n_rows + nt - 1) / nt;
+    auto worker = [&](long t) {
+        long long lo = t * chunk;
+        long long hi = lo + chunk < n_rows ? lo + chunk : n_rows;
+        for (long long r = lo; r < hi; ++r) {
+            unsigned char* row = P + r * row_bytes;
+            for (long long j = starts[(size_t)r];
+                 j < starts[(size_t)r + 1]; ++j) {
+                int s = by_row[(size_t)j];
+                row[s >> 3] |= (unsigned char)(1u << (s & 7));
+            }
+        }
+    };
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t) threads.emplace_back(worker, t);
+    worker(0);
+    for (auto& th : threads) th.join();
     return 0;
 }
 

@@ -75,6 +75,26 @@ class KmerIndex:
 
     @classmethod
     def _build_from_db(cls, db: ReferenceDb, k: int, fast: bool):
+        import time
+
+        t0 = time.time()
+        # native multithreaded builder (the reference parallel_reduces
+        # this, kmer_search.cpp:152-211); python loop as fallback
+        from .. import native
+
+        base_offsets, _, flat_mask4 = db.flat_arrays()
+        built = native.build_kmer_lists(
+            flat_mask4, base_offsets, k, fast
+        )
+        if built is not None:
+            flat, offsets = built
+            logger.info(
+                "Built index from %d sequences (%d postings, "
+                "native, %.1fs)",
+                len(db), len(flat), time.time() - t0,
+            )
+            return cls(k, fast, len(db), flat, offsets)
+
         from ..progress import Progress
 
         prefix = BASE_A if fast else None
@@ -159,17 +179,22 @@ class KmerIndex:
         byte axis keeps TPU lane tiling (128).  Built straight from
         the CSR postings; the unpacked matrix is never materialised."""
         if getattr(self, "_packed", None) is None:
+            from .. import native
+
             s_pad = -(-max(self.n_seqs, 1) // 1024) * 1024
             P = np.zeros((self.n_rows + 1, s_pad // 8), dtype=np.uint8)
-            seq_ids = np.repeat(
-                np.arange(self.n_seqs, dtype=np.int64),
-                np.diff(self.seq_offsets),
-            )
-            np.bitwise_or.at(
-                P,
-                (self.seq_kmers, seq_ids >> 3),
-                (np.uint8(1) << (seq_ids & 7).astype(np.uint8)),
-            )
+            if not native.fill_packed(
+                self.seq_kmers, self.seq_offsets, self.n_seqs, P
+            ):
+                seq_ids = np.repeat(
+                    np.arange(self.n_seqs, dtype=np.int64),
+                    np.diff(self.seq_offsets),
+                )
+                np.bitwise_or.at(
+                    P,
+                    (self.seq_kmers, seq_ids >> 3),
+                    (np.uint8(1) << (seq_ids & 7).astype(np.uint8)),
+                )
             self._packed = P
         return self._packed
 

@@ -100,7 +100,14 @@ class ReferenceDb:
                 int(offsets[i + 1]),
                 s.positions,
             )
+        self._flat = (offsets, flat_pos, flat_mask4)
         self._flat_stamped = True
+
+    def flat_arrays(self):
+        """(offsets, flat_positions, flat_mask4) shared batch arrays
+        (mask low 4 bits only; built once by ensure_flat)."""
+        self.ensure_flat()
+        return self._flat
 
     # -- persistence --------------------------------------------------
 

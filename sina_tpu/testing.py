@@ -161,6 +161,86 @@ def make_reference(
     return ReferenceDb(seqs, width, pairs=pairs)
 
 
+def make_reference_large(
+    n_seqs: int,
+    n_core: int = 1450,
+    width: int = 50_000,
+    seed: int = 1234,
+    group: int = 64,
+) -> ReferenceDb:
+    """SILVA-scale synthetic reference (100k+ seqs, 50k columns).
+
+    The tree generator above is O(width) per tree node and unusable at
+    this scale; here a two-level ancestry (root -> n_seqs/group
+    ancestors -> leaves) is built vectorised over the ~n_core occupied
+    columns only, so cost is O(n_seqs * n_core) regardless of width.
+    Taxonomy derives from the ancestor index (group = genus)."""
+    rng = np.random.default_rng(seed)
+    core_cols = np.sort(
+        rng.choice(width, size=min(n_core, width), replace=False)
+    ).astype(np.uint32)
+    nc = len(core_cols)
+    root = _BASES[rng.integers(0, 4, size=nc)]
+    rates = np.where(rng.random(nc) < 0.25, 3.0, 0.35)
+    # spare (empty) columns adjacent to core columns for insertions
+    empty = np.setdiff1d(
+        np.arange(width, dtype=np.uint32), core_cols
+    )
+
+    n_anc = -(-n_seqs // group)
+    # ancestors: substitutions only (vectorised (n_anc, nc))
+    p_anc = np.clip(0.10 * rates, 0, 0.6)
+    sub = rng.random((n_anc, nc)) < p_anc
+    anc = np.broadcast_to(root, (n_anc, nc)).copy()
+    anc[sub] = _BASES[rng.integers(0, 4, size=int(sub.sum()))]
+    # ancestor deletions: short random knockouts
+    anc_keep = rng.random((n_anc, nc)) > 0.01 * rates
+
+    seqs: list[Sequence] = []
+    for a in range(n_anc):
+        B = min(group, n_seqs - a * group)
+        if B <= 0:
+            break
+        bases = np.broadcast_to(anc[a], (B, nc)).copy()
+        p_leaf = np.clip(0.03 * rates, 0, 0.5)
+        sub = rng.random((B, nc)) < p_leaf
+        bases[sub] = _BASES[rng.integers(0, 4, size=int(sub.sum()))]
+        keep = anc_keep[a][None, :] & (
+            rng.random((B, nc)) > 0.004 * rates
+        )
+        n_ins = rng.poisson(2.0, size=B)
+        for b in range(B):
+            i = a * group + b
+            kb = keep[b]
+            pos = core_cols[kb]
+            msk = bases[b][kb]
+            if n_ins[b]:
+                icols = rng.choice(
+                    empty, size=n_ins[b], replace=False
+                ).astype(np.uint32)
+                ibase = _BASES[rng.integers(0, 4, size=n_ins[b])]
+                pos = np.concatenate([pos, icols])
+                msk = np.concatenate([msk, ibase])
+                order = np.argsort(pos, kind="stable")
+                pos, msk = pos[order], msk[order]
+            seq = Sequence(
+                f"SEQ{i:06d}", pos.astype(np.uint32),
+                msk.astype(np.uint8), width, {},
+            )
+            labels = []
+            acc = 0
+            for lvl, name in enumerate(_TAX_LEVELS):
+                acc = acc * 2 + ((a >> (len(_TAX_LEVELS) - 1 - lvl)) & 1)
+                labels.append(f"{name}{acc}")
+            seq.attrs["tax_slv"] = ";".join(labels) + ";"
+            seq.attrs["acc"] = f"ACC{i:06d}"
+            seq.attrs["start"] = "1"
+            seq.attrs["stop"] = str(len(pos))
+            seq.attrs["version"] = "1"
+            seqs.append(seq)
+    return ReferenceDb(seqs, width)
+
+
 def make_queries(
     db: ReferenceDb,
     n: int = 20,

@@ -123,3 +123,73 @@ def test_count_cols_batch_matches_unique():
         for f in fams
     ]
     assert list(got) == want
+
+
+def test_native_kmer_lists_match_python():
+    import numpy as np
+
+    from sina_tpu import native, testing
+    from sina_tpu.ops.kmer import kmers_of_masks, BASE_A
+
+    db = testing.make_reference(
+        n_seqs=40, n_core=300, width=500, seed=21
+    )
+    offsets, _, flat_mask4 = db.flat_arrays()
+    for fast in (True, False):
+        built = native.build_kmer_lists(flat_mask4, offsets, 10, fast)
+        assert built is not None, "native library unavailable"
+        kmers, koff = built
+        prefix = BASE_A if fast else None
+        for i, s in enumerate(db.sequences):
+            want = np.unique(
+                kmers_of_masks(s.masks, 10, prefix_base=prefix)
+            )
+            got = kmers[koff[i] : koff[i + 1]]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_native_kmer_lists_ambiguity_and_short():
+    import numpy as np
+
+    from sina_tpu import native, alphabet
+    from sina_tpu.ops.kmer import kmers_of_masks
+
+    # seq 0: too short; seq 1: has an N in the middle
+    m0 = np.array([alphabet.M_A] * 5, np.uint8)
+    m1 = np.array(
+        [alphabet.M_A] * 12 + [0xF] + [alphabet.M_C] * 12, np.uint8
+    )
+    flat = np.concatenate([m0, m1])
+    offsets = np.array([0, 5, len(flat)], np.int64)
+    built = native.build_kmer_lists(flat, offsets, 10, False)
+    assert built is not None
+    kmers, koff = built
+    assert koff[1] - koff[0] == 0
+    want = np.unique(kmers_of_masks(m1, 10))
+    np.testing.assert_array_equal(kmers[koff[1] : koff[2]], want)
+
+
+def test_native_fill_packed_matches_numpy():
+    import numpy as np
+
+    from sina_tpu import native, testing
+    from sina_tpu.ops.kmer_index import KmerIndex
+
+    db = testing.make_reference(
+        n_seqs=50, n_core=300, width=500, seed=22
+    )
+    idx = KmerIndex.build(db, k=8, fast=True)
+    P_native = idx.dense_packed()
+    # recompute via the numpy fallback
+    s_pad = -(-idx.n_seqs // 1024) * 1024
+    P_np = np.zeros((idx.n_rows + 1, s_pad // 8), dtype=np.uint8)
+    seq_ids = np.repeat(
+        np.arange(idx.n_seqs, dtype=np.int64),
+        np.diff(idx.seq_offsets),
+    )
+    np.bitwise_or.at(
+        P_np,
+        (idx.seq_kmers, seq_ids >> 3),
+        (np.uint8(1) << (seq_ids & 7).astype(np.uint8)),
+    )
+    np.testing.assert_array_equal(P_native, P_np)
