@@ -211,6 +211,22 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fasta-block", type=int, default=0)
     g.add_argument("--fasta-idx", type=int, default=0)
 
+    g = p.add_argument_group("Multi-host")
+    g.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed; each process "
+                   "reads its own --fasta-block shard of the input "
+                   "and writes <out>.part<idx> (the batched psina, "
+                   "rw_fasta.cpp:209-242)")
+    g.add_argument("--coordinator", default="",
+                   help="coordinator address host:port (multihost; "
+                   "autodetected on TPU pods)")
+    g.add_argument("--num-processes", type=int, default=0,
+                   help="process count (multihost; autodetected on "
+                   "TPU pods)")
+    g.add_argument("--process-id", type=int, default=-1,
+                   help="this process's id (multihost; autodetected "
+                   "on TPU pods)")
+
     g = p.add_argument_group("CSV I/O")
     g.add_argument("--csv-crlf", action="store_true")
     g.add_argument("--csv-id", default="name")
@@ -354,6 +370,10 @@ def config_from_args(args) -> PipelineConfig:
         select_step=args.select_step,
         select_skip=args.select_skip,
         select_file=args.select_file,
+        multihost=args.multihost,
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
     )
 
 
@@ -371,6 +391,16 @@ def setup_logging(verbose: int, quiet: int, log_file: str = "") -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("SINA_TPU_PLATFORM"):
+        # hard platform override (some containers force-register a
+        # tunneled TPU backend and ignore JAX_PLATFORMS)
+        import jax
+
+        jax.config.update(
+            "jax_platforms", os.environ["SINA_TPU_PLATFORM"]
+        )
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.has_cli_vers is not None:

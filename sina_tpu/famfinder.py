@@ -103,7 +103,13 @@ class FamFinder:
         if self._P is None:
             import jax
 
-            devices = jax.devices()
+            multiproc = jax.process_count() > 1
+            # multi-host runs are data-parallel by input shard (each
+            # process reads its own --fasta-block): the index mesh is
+            # host-local, all local chips as index ("mp") shards
+            devices = (
+                jax.local_devices() if multiproc else jax.devices()
+            )
             if len(devices) > 1:
                 # shard the index over reference sequences (mp) and
                 # query batches over dp; per-shard top-k merges via
@@ -113,7 +119,9 @@ class FamFinder:
                 )
                 import jax.numpy as jnp
 
-                self._mesh = make_mesh(devices)
+                self._mesh = make_mesh(
+                    devices, dp=1 if multiproc else None
+                )
                 mp = self._mesh.shape["mp"]
                 P = self.index.dense_packed()
                 Sb = P.shape[1]

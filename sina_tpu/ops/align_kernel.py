@@ -41,7 +41,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(1e6)
+# python float (not a jnp array): creating a device array at import
+# time would initialise the XLA backend before jax.distributed can
+# run in multi-host mode
+BIG = 1e6
 
 CODE_EDGE = 0
 CODE_MATCH = 1

@@ -71,6 +71,12 @@ class PipelineConfig:
     select_step: int = 1
     select_skip: int = 0
     select_file: str = ""
+    # multi-host (jax.distributed): each process reads its own
+    # --fasta-block shard and writes <out>.part<idx>
+    multihost: bool = False
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 class Pipeline:
@@ -79,6 +85,37 @@ class Pipeline:
         self.db: ReferenceDb | None = None
         self.finder: FamFinder | None = None
         self.searcher: SearchFilter | None = None
+
+        if cfg.multihost:
+            from .parallel import multihost
+
+            multihost.initialize(
+                coordinator=cfg.coordinator or None,
+                num_processes=cfg.num_processes or None,
+                process_id=(
+                    cfg.process_id if cfg.process_id >= 0 else None
+                ),
+            )
+            import jax
+
+            if (
+                jax.process_count() > 1
+                and cfg.fasta_block == 0
+                and cfg.in_path not in ("-",)
+                and Path(cfg.in_path).is_file()
+            ):
+                shard = multihost.host_input_shard(cfg.in_path)
+                cfg.fasta_block = shard["fasta_block"]
+                cfg.fasta_idx = shard["fasta_idx"]
+            if jax.process_count() > 1:
+                idx = jax.process_index()
+                cfg.outputs = [
+                    (
+                        kind,
+                        path if path == "-" else f"{path}.part{idx}",
+                    )
+                    for kind, path in cfg.outputs
+                ]
 
         if not cfg.prealigned:
             if not cfg.db:

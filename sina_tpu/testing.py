@@ -241,6 +241,179 @@ def make_reference_large(
     return ReferenceDb(seqs, width)
 
 
+def make_reference_ltp(
+    n_seqs: int = 5000,
+    n_core: int = 1400,
+    width: int = 6000,
+    seed: int = 1234,
+    level_sub: tuple = (0.75, 0.38, 0.17, 0.08, 0.035, 0.016),
+    level_indel: tuple = (12.0, 7.0, 4.0, 2.5, 1.4, 0.8),
+    var_frac: float = 0.42,
+    cons_rate: float = 0.22,
+    n_stems: int = 0,
+) -> ReferenceDb:
+    """LTP-like hierarchical fixture: the accuracy-regression stand-in
+    for the reference's ltp_reduced.arb (~12k real rRNA sequences).
+
+    Properties mirrored from the real database (what the reference's
+    accuracy thresholds implicitly depend on,
+    /root/reference/tests/accuracy_kmer.test:33-40):
+      * high density — most sequences have relatives at ~0.96-0.99
+        identity (the realign test asserts avg_idty > 0.96);
+      * graded divergence at every level (the fs-msc-max 0.9/0.8/0.7
+        degradation curve needs relatives just under each cap);
+      * conserved core + variable regions (rates bimodal);
+      * indels as short runs in variable regions, with insertions
+        drawn from per-site spare-column pools so related sequences
+        share insertion columns (NAST behaviour).
+
+    Implemented as a level-by-level vectorised evolution over the
+    occupied-column block matrix (O(n_seqs * n_core), independent of
+    width).
+    """
+    rng = np.random.default_rng(seed)
+    # columns: core columns + per-gap spare pools for insertions
+    spare_per_gap = 2
+    stride = width // (n_core + 1)
+    if stride < spare_per_gap + 1:
+        raise ValueError("width too small for core + spare pools")
+    core_cols = (np.arange(n_core) + 1) * stride
+    # spare columns directly after each core column
+    spare_cols = (
+        core_cols[:, None] + 1 + np.arange(spare_per_gap)[None, :]
+    )  # (n_core, spare_per_gap)
+    # extended column set: interleave core and its spares
+    ext_cols = np.concatenate(
+        [core_cols[:, None], spare_cols], axis=1
+    ).reshape(-1)
+    is_core = np.zeros(len(ext_cols), dtype=bool)
+    is_core[:: spare_per_gap + 1] = True
+    ncx = len(ext_cols)
+
+    root = np.zeros(ncx, dtype=np.uint8)
+    root[is_core] = _BASES[rng.integers(0, 4, size=n_core)]
+    pairs = np.zeros(width, dtype=np.int32)
+    if n_stems > 0:
+        cc = core_cols
+        stem_len = 5
+        half = n_core // 2
+        core_ext_idx = np.nonzero(is_core)[0]
+        for _ in range(n_stems):
+            a0 = int(rng.integers(0, max(1, half - stem_len)))
+            b0 = int(rng.integers(half, n_core - stem_len))
+            for t in range(stem_len):
+                i, j = int(cc[a0 + t]), int(cc[b0 + stem_len - 1 - t])
+                if pairs[i] or pairs[j]:
+                    continue
+                pairs[i], pairs[j] = j, i
+                root[core_ext_idx[b0 + stem_len - 1 - t]] = _PAIRING[
+                    int(root[core_ext_idx[a0 + t]]) & 0xF
+                ]
+
+    # bimodal per-column substitution rates: conserved core (70%),
+    # variable regions (30%, clustered in blocks of ~25 columns)
+    n_blocks = max(1, n_core // 25)
+    block_var = rng.random(n_blocks) < var_frac
+    rate_core = np.where(
+        block_var[np.minimum(
+            np.arange(n_core) // 25, n_blocks - 1
+        )],
+        1.0,
+        cons_rate,
+    )
+    rates = np.zeros(ncx, dtype=np.float64)
+    rates[is_core] = rate_core
+    # spares inherit the rate of their core column
+    rates[~is_core] = np.repeat(rate_core, spare_per_gap)
+
+    # branching plan: level populations multiply to >= n_seqs
+    fanout = []
+    total = 1
+    for _ in level_sub:
+        f = int(np.ceil((n_seqs / total) ** (1.0 / 1)))  # placeholder
+        fanout.append(f)
+        total *= f
+    # recompute a balanced fanout: L-th root of n_seqs per level
+    L = len(level_sub)
+    f = int(np.ceil(n_seqs ** (1.0 / L)))
+    fanout = [f] * L
+    # trim the last level so total ≈ n_seqs
+    total = f ** L
+
+    pop = np.broadcast_to(root, (1, ncx)).copy()
+    for lvl in range(L):
+        n_par = pop.shape[0]
+        n_child = min(n_par * fanout[lvl], n_seqs)
+        parent_of = np.repeat(
+            np.arange(n_par), fanout[lvl]
+        )[:n_child]
+        child = pop[parent_of].copy()
+        # substitutions (vectorised): only occupied cells mutate
+        p = level_sub[lvl] * rates[None, :]
+        sub = (rng.random(child.shape) < p) & (child != 0)
+        child[sub] = _BASES[rng.integers(0, 4, size=int(sub.sum()))]
+        # indel events: per child, Poisson(level_indel) run events in
+        # variable regions; half deletions, half insertions
+        n_ev = rng.poisson(level_indel[lvl], size=n_child)
+        var_core = np.nonzero(rate_core > 0.5)[0]
+        core_ext_idx = np.nonzero(is_core)[0]
+        for c in range(n_child):
+            for _ in range(int(n_ev[c])):
+                run = 1 + min(int(rng.geometric(0.55)), 5)
+                ci = int(var_core[rng.integers(0, len(var_core))])
+                if rng.random() < 0.5:
+                    # deletion: zero `run` consecutive core columns
+                    lo = core_ext_idx[ci]
+                    hi = core_ext_idx[min(ci + run, n_core - 1)]
+                    child[c, lo:hi][is_core[lo:hi]] = 0
+                else:
+                    # insertion: fill spares after core column ci
+                    base = ci * (spare_per_gap + 1) + 1
+                    k = min(run, spare_per_gap)
+                    child[c, base : base + k] = _BASES[
+                        rng.integers(0, 4, size=k)
+                    ]
+        pop = child
+        if pop.shape[0] >= n_seqs:
+            pop = pop[:n_seqs]
+            if lvl < L - 1:
+                # still apply remaining levels' divergence to keep the
+                # identity ladder: continue with fanout 1
+                fanout = [1] * L
+                continue
+    pop = pop[:n_seqs]
+
+    seqs = []
+    n_final = pop.shape[0]
+    # taxonomy from the (balanced) ancestry path
+    for i in range(n_final):
+        cols = pop[i]
+        occ = np.nonzero(cols)[0]
+        seq = Sequence(
+            f"SEQ{i:05d}",
+            ext_cols[occ].astype(np.uint32),
+            cols[occ].astype(np.uint8),
+            width,
+            {},
+        )
+        labels = []
+        idx = i
+        path = []
+        for lvl in range(L):
+            path.append(idx // (f ** (L - 1 - lvl)) % f)
+        acc = 0
+        for lvl, name in enumerate(_TAX_LEVELS[:L]):
+            acc = acc * f + path[lvl]
+            labels.append(f"{name}{acc}")
+        seq.attrs["tax_slv"] = ";".join(labels) + ";"
+        seq.attrs["acc"] = f"ACC{i:05d}"
+        seq.attrs["start"] = "1"
+        seq.attrs["stop"] = str(len(occ))
+        seq.attrs["version"] = "1"
+        seqs.append(seq)
+    return ReferenceDb(seqs, width, pairs=pairs)
+
+
 def make_queries(
     db: ReferenceDb,
     n: int = 20,
