@@ -238,6 +238,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--arb-list-fields", action="store_true",
                    help="list metadata fields of the reference "
                    "bundle and exit")
+    g.add_argument("--build-refdb", default="", metavar="DIR.sref",
+                   help="build a reference bundle from the aligned "
+                   "input FASTA (-i; the reference's arb2fasta "
+                   "export) plus optional --refdb-metadata CSV, "
+                   "write it to DIR.sref and exit.  Field names "
+                   "follow doc/source/fields.rst (acc, start, stop, "
+                   "tax_slv, ...); the CSV's first/'name' column "
+                   "keys rows by sequence name")
+    g.add_argument("--refdb-metadata", default="", metavar="CSV",
+                   help="per-sequence metadata CSV for --build-refdb")
     g.add_argument("--markaligned", action="store_true",
                    help="(compatibility; ARB output unsupported)")
     g.add_argument("--markcopied", action="store_true",
@@ -438,12 +448,54 @@ def main(argv: list[str] | None = None) -> int:
         for k in keys:
             print(k)
         return 0
-    if args.show_conf:
-        print("Effective parameters:", file=sys.stderr)
-        for k, v in sorted(vars(args).items()):
-            print(f"{k} = {v}", file=sys.stderr)
+    if args.build_refdb:
+        # ARB interop workflow: arb2fasta-style aligned FASTA (+
+        # metadata CSV) -> .sref bundle (replaces query_arb's
+        # container; field contract per doc/source/fields.rst)
+        from .refdb import ReferenceDb
+
+        if not args.in_path or args.in_path == "-":
+            print("--build-refdb needs an input FASTA (-i)",
+                  file=sys.stderr)
+            return 1
+        try:
+            db = ReferenceDb.from_fasta(
+                args.in_path,
+                metadata_csv=args.refdb_metadata or None,
+            )
+            db.save(args.build_refdb)
+        except (ValueError, FileNotFoundError, OSError) as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        log.warning(
+            "wrote %s (%d sequences, width %d)",
+            args.build_refdb, len(db), db.width,
+        )
+        return 0
     try:
         cfg = config_from_args(args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"Configuration error:\n{e}", file=sys.stderr)
+        return 1
+    if args.show_conf:
+        # effective per-module config (sina.cpp:191-202 prints the
+        # validated module options, not the raw argv)
+        print("Effective parameters:", file=sys.stderr)
+        import dataclasses
+
+        def dump(title, obj):
+            print(f"[{title}]", file=sys.stderr)
+            for f in dataclasses.fields(obj):
+                v = getattr(obj, f.name)
+                if dataclasses.is_dataclass(v):
+                    continue
+                print(f"  {f.name} = {v}", file=sys.stderr)
+
+        dump("pipeline", cfg)
+        dump("famfinder", cfg.famfinder)
+        dump("aligner", cfg.aligner)
+        dump("search", cfg.search)
+    try:
         pipe = Pipeline(cfg)
     except (ValueError, FileNotFoundError) as e:
         print(f"Configuration error:\n{e}", file=sys.stderr)

@@ -246,8 +246,8 @@ def make_reference_ltp(
     n_core: int = 1400,
     width: int = 6000,
     seed: int = 1234,
-    level_sub: tuple = (0.75, 0.38, 0.17, 0.08, 0.035, 0.016),
-    level_indel: tuple = (12.0, 7.0, 4.0, 2.5, 1.4, 0.8),
+    level_sub: tuple = (0.52, 0.30, 0.16, 0.08, 0.035, 0.016),
+    level_indel: tuple = (9.0, 6.0, 4.0, 2.5, 1.4, 0.8),
     var_frac: float = 0.42,
     cons_rate: float = 0.22,
     n_stems: int = 0,

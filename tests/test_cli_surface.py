@@ -105,3 +105,74 @@ def test_multihost_input_shard(monkeypatch, tmp_path):
     shard = multihost.host_input_shard(str(f))
     assert shard["fasta_idx"] == 2
     assert shard["fasta_block"] * 4 >= f.stat().st_size
+
+
+def test_build_refdb_workflow(tmp_path, capsys):
+    """ARB interop: arb2fasta-style aligned FASTA + metadata CSV ->
+    .sref bundle via --build-refdb; fields round-trip into CSV output
+    (VERDICT item 7; field contract per doc/source/fields.rst)."""
+    from sina_tpu import testing
+    from sina_tpu.io.fasta import FastaWriter
+    from sina_tpu.refdb import ReferenceDb
+
+    db = testing.make_reference(n_seqs=40, n_core=200, width=400,
+                                seed=31)
+    fasta = tmp_path / "export.fasta"
+    with FastaWriter(str(fasta)) as w:
+        for s in db.sequences:
+            w.write(s)
+    csv = tmp_path / "meta.csv"
+    rows = ["name,tax_slv,strain"]
+    for i, s in enumerate(db.sequences):
+        rows.append(f"{s.name},Bacteria;Firmicutes;,ST{i}")
+    csv.write_text("\n".join(rows) + "\n")
+
+    bundle = tmp_path / "ref.sref"
+    rc = main([
+        "-i", str(fasta), "--build-refdb", str(bundle),
+        "--refdb-metadata", str(csv),
+    ])
+    assert rc == 0
+    loaded = ReferenceDb.load(bundle)
+    assert len(loaded) == 40
+    assert loaded.sequences[3].attrs["strain"] == "ST3"
+    assert loaded.sequences[3].attrs["tax_slv"].startswith("Bacteria")
+
+    # align against the built bundle; copied fields reach CSV output
+    qfasta = tmp_path / "q.fasta"
+    with FastaWriter(str(qfasta)) as w:
+        for q in testing.make_queries(db, n=3, seed=9,
+                                      branch_len=0.4):
+            w.write(testing.unaligned_copy(q))
+    out_csv = tmp_path / "out.csv"
+    rc = main([
+        "-i", str(qfasta), "-o", str(out_csv),
+        "-r", str(bundle),
+        "--fs-min", "5", "--fs-max", "5", "--fs-full-len", "150",
+        "--fs-req-gaps", "1",
+        "-S", "--search-copy-fields", "strain",
+        "--search-min-sim", "0.3", "--lca-fields", "tax_slv",
+    ])
+    assert rc == 0
+    text = out_csv.read_text()
+    header = text.splitlines()[0]
+    assert "copy_strain" in header or "strain" in header
+    assert "ST" in text
+
+
+def test_show_conf_effective_modules(tmp_path, capsys):
+    from sina_tpu import testing
+
+    db = testing.make_reference(n_seqs=20, n_core=150, width=300,
+                                seed=32)
+    db.save(tmp_path / "db.sref")
+    rc = main([
+        "-i", str(tmp_path / "db.sref"), "-o", "none",
+        "-r", str(tmp_path / "db.sref"), "--show-conf",
+        "--fs-min", "5", "--fs-max", "5", "--fs-full-len", "100",
+        "--fs-req-gaps", "1", "--select-step", "20",
+    ])
+    err = capsys.readouterr().err
+    assert "[famfinder]" in err
+    assert "fs_max = 5" in err
+    assert "[aligner]" in err
