@@ -444,21 +444,6 @@ def _device_unpack_fgq(fgq, params: DpParams):
     return fq, gc
 
 
-def _device_qprof(qmask):
-    """(…, M) int mask → (…, M, 4) f32 query profile on device;
-    matches query_profile_weights (pseq.h:66-86) but is pure
-    elementwise math, so only the uint8 masks cross the host link
-    (16x less transfer than shipping the f32 profile)."""
-    import jax.numpy as jnp
-
-    m = (qmask & 0xF).astype(jnp.int32)
-    bits = jnp.stack(
-        [(m >> s) & 1 for s in range(4)], axis=-1
-    ).astype(jnp.float32)
-    cnt = bits.sum(axis=-1, keepdims=True)
-    return bits / jnp.maximum(cnt, 1.0)
-
-
 @functools.lru_cache(maxsize=64)
 def _profile_batched_fn(
     C: int, M: int, params: DpParams, aspace: bool = False,
@@ -477,14 +462,29 @@ def _profile_batched_fn(
     ).reshape(C, 1)
     is_start = jnp.arange(C) == 0
 
-    def core(freqs, gapcost, qprof, qlen, c_real, budget=None):
+    def core(freqs, gapcost, qmask, qlen, c_real, budget=None):
         from .align_kernel import BIG
 
-        dot = jnp.dot(
-            freqs, qprof.T, preferred_element_type=jnp.float32
-        )                                      # (C, M)
-        occ = freqs.sum(axis=1, keepdims=True)
-        qs = qprof.sum(axis=1)[None, :]
+        # substitution costs term-for-term (and f32 op-order) equal
+        # to the fused Pallas kernel (profile_pallas._fused_kernel)
+        # so both paths stay bit-exact against each other
+        qm = (qmask & 0xF).astype(jnp.int32)            # (M,)
+        b0 = (qm & 1).astype(jnp.float32)
+        b1 = ((qm >> 1) & 1).astype(jnp.float32)
+        b2 = ((qm >> 2) & 1).astype(jnp.float32)
+        b3 = ((qm >> 3) & 1).astype(jnp.float32)
+        cnt = b0 + b1 + b2 + b3
+        inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+        dot = (
+            freqs[:, 0][:, None] * (b0 * inv)[None, :]
+            + freqs[:, 1][:, None] * (b1 * inv)[None, :]
+            + freqs[:, 2][:, None] * (b2 * inv)[None, :]
+            + freqs[:, 3][:, None] * (b3 * inv)[None, :]
+        )                                                # (C, M)
+        occ = (
+            freqs[:, 0] + freqs[:, 1] + freqs[:, 2] + freqs[:, 3]
+        )[:, None]
+        qs = (cnt * inv)[None, :]
         sub = (m - mm) * dot + mm * occ * qs + gapcost[:, None]
         pad = jnp.arange(C)[:, None] >= c_real
         sub = jnp.where(pad, BIG, sub)
@@ -510,7 +510,7 @@ def _profile_batched_fn(
                 fq = jnp.take(fq, fam_idx, axis=0)
                 gc = jnp.take(gc, fam_idx, axis=0)
             out = vm(
-                fq, gc, _device_qprof(qmask),
+                fq, gc, qmask,
                 lens[:, 0], lens[:, 1], budget,
             )
             return _pack_result(*out)
@@ -524,7 +524,7 @@ def _profile_batched_fn(
             fq = jnp.take(fq, fam_idx, axis=0)
             gc = jnp.take(gc, fam_idx, axis=0)
         out = vm(
-            fq, gc, _device_qprof(qmask),
+            fq, gc, qmask,
             lens[:, 0], lens[:, 1],
         )
         return _pack_result(*out)
@@ -564,66 +564,27 @@ def _profile_pallas_fn(
     C: int, M: int, params: DpParams, compact: bool = True,
     dedup: bool = False,
 ):
-    """TPU fast path: Pallas chain kernel + device end-selection and
+    """TPU fast path: fused Pallas chain kernel (in-kernel sub costs
+    + end selection; the (B, C, M) substitution tensor and the V
+    plane never exist in HBM, so batch size scales freely) + device
     traceback over the compact backpointer layout.  With ``compact``
     (the default; requires C, M < 32767) the traceback log and the
     (best_c, best_i, raw) aux words ship as one int16 array — half
     the device→host bytes of the int32 layout."""
     import jax
     import jax.numpy as jnp
-    from .profile_pallas import chain_dp_pallas, chain_traceback
-    from .align_kernel import BIG
+    from .profile_pallas import chain_dp_pallas_fused
 
     go = float(params.gap_open)
     ge = float(params.gap_ext)
-    m = jnp.float32(params.match)
-    mm = jnp.float32(params.mismatch)
 
-    def fn(freqs, gapcost, qprof, qlen, c_real):
-        dot = jnp.einsum(
-            "bcf,bmf->bcm", freqs, qprof,
-            preferred_element_type=jnp.float32,
-        )
-        occ = freqs.sum(axis=2)                      # (B, C)
-        qs = qprof.sum(axis=2)                       # (B, M)
-        sub = (
-            (m - mm) * dot
-            + mm * occ[:, :, None] * qs[:, None, :]
-            + gapcost[:, :, None]
-        )
-        pad = jnp.arange(C)[None, :, None] >= c_real[:, None, None]
-        sub = jnp.where(pad, BIG, sub)
+    def fn(freqs, gapcost, qmask, qlen, c_real):
         interp = jax.default_backend() not in ("tpu", "axon")
-        V, bp = chain_dp_pallas(
-            sub, go * occ, ge * occ, go, ge, C, M,
-            interpret=interp,
-        )
-
-        def sel(Vb, ql, cr):
-            col_valid = jnp.arange(C) < cr
-            c1 = jnp.where(
-                col_valid,
-                jnp.take_along_axis(
-                    Vb, jnp.full((C, 1), ql - 1), axis=1
-                )[:, 0],
-                BIG,
-            )
-            j1 = jnp.argmin(c1)
-            v1 = c1[j1]
-            iok = jnp.arange(M) < ql
-            vend = Vb[cr - 1]
-            c2 = jnp.where(iok, vend, BIG)
-            i2 = jnp.argmin(c2)
-            v2 = c2[i2]
-            use2 = v2 < v1
-            return (
-                jnp.where(use2, cr - 1, j1),
-                jnp.where(use2, i2, ql - 1),
-                jnp.where(use2, v2, v1),
-            )
-
-        bc, bi, raw = jax.vmap(sel, in_axes=(1, 0, 0))(
-            V, qlen, c_real
+        bp, bc, bi, raw = chain_dp_pallas_fused(
+            freqs, gapcost, qmask,
+            qlen.astype(jnp.int32), c_real.astype(jnp.int32),
+            go, ge, float(params.match), float(params.mismatch),
+            C, M, interpret=interp,
         )
         from .profile_pallas import chain_traceback_log
 
@@ -661,7 +622,7 @@ def _profile_pallas_fn(
             fq = jnp.take(fq, fam_idx, axis=0)
             gc = jnp.take(gc, fam_idx, axis=0)
         return fn(
-            fq, gc, _device_qprof(qmask),
+            fq, gc, qmask,
             lens[:, 0], lens[:, 1],
         )
 
@@ -790,22 +751,3 @@ def profile_dp_batch(
             budget=budget,
         )
     )
-
-
-def profile_sub_costs(profile: Profile, qprof, params: DpParams):
-    """Match-cost matrix (C, M): scoring_scheme_profile::match with
-    base_profile::comp (pseq.h:100-119)."""
-    import jax.numpy as jnp
-
-    p = jnp.asarray(profile.freqs)              # (C, 4)
-    q = jnp.asarray(qprof)                      # (M, 4)
-    m = jnp.float32(params.match)
-    mm = jnp.float32(params.mismatch)
-    dot = p @ q.T                               # (C, M) on the MXU
-    occ = p.sum(axis=1, keepdims=True)          # (C, 1)
-    qs = q.sum(axis=1)[None, :]                 # (1, M)
-    gap_part = (
-        jnp.float32(params.gap_open) * jnp.asarray(profile.gap_open)
-        + jnp.float32(params.gap_ext) * jnp.asarray(profile.gap_ext)
-    )[:, None]
-    return (m - mm) * dot + mm * occ * qs + gap_part

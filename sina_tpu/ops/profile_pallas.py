@@ -40,25 +40,73 @@ def _shift_right(x, n: int, fill):
     return jnp.where(lane < n, jnp.float32(fill), rolled)
 
 
-def _chain_kernel(
-    sub_ref, dgo_ref, dge_ref, v_ref, bp_ref, vp_ref, dp_ref,
-    *, go: float, ge: float, m_len: int,
+def _fused_kernel(
+    fr_ref, gap_ref, qm_ref, lens_ref, bp_ref, best_ref,
+    vp_ref, dp_ref, inv_ref, qs_ref, sel_ref,
+    *, go: float, ge: float, m: float, mm: float, m_len: int,
 ):
+    """Fused chain-DP step: substitution costs are computed in-kernel
+    from the profile column (4 freqs) and the resident query masks —
+    the (B, C, M) sub tensor never exists in HBM (the old kernel
+    materialised it, capping batch size; VERDICT r1 item 5).  End
+    selection (best last-column / end-row cell) also runs in-kernel,
+    so the (C, B, M) V plane is never written either: per step the
+    only HBM traffic is one uint8 backpointer row out."""
     B, M = vp_ref.shape
+    j = _program_id()
 
-    @_when(_program_id() == 0)
+    @_when(j == 0)
     def _init():
         vp_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
         dp_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
+        qm = qm_ref[...].astype(jnp.int32)
+        cnt = (
+            (qm & 1) + ((qm >> 1) & 1) + ((qm >> 2) & 1)
+            + ((qm >> 3) & 1)
+        ).astype(jnp.float32)
+        inv_ref[...] = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
+        # qs exactly as the XLA oracle computes it: sum of the query
+        # profile weights (cnt * 1/cnt, NOT a constant 1 — keeps f32
+        # bit-parity for ambiguity codes)
+        qs_ref[...] = cnt * jnp.where(
+            cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0
+        )
+        sel_ref[...] = jnp.stack(
+            [
+                jnp.full((B,), BIG, dtype=jnp.float32),   # best1 val
+                jnp.zeros((B,), dtype=jnp.float32),       # best1 col
+                jnp.full((B,), BIG, dtype=jnp.float32),   # best2 val
+                jnp.zeros((B,), dtype=jnp.float32),       # best2 i
+            ]
+        )
 
     Vp = vp_ref[...]
     Dp = dp_ref[...]
-    sub = sub_ref[0]
-    dgo = dgo_ref[0, 0][:, None]  # (B, 1)
-    dge = dge_ref[0, 0][:, None]
+    fr = fr_ref[0]                     # (4, B)
+    gap = gap_ref[0, 0][:, None]       # (B, 1)
+    ql = lens_ref[0][:, None]          # (B, 1) int32
+    cr = lens_ref[1][:, None]          # (B, 1) int32
+
+    qm = qm_ref[...].astype(jnp.int32)
+    inv = inv_ref[...]
+    dot = (
+        fr[0][:, None] * (((qm) & 1).astype(jnp.float32) * inv)
+        + fr[1][:, None] * (((qm >> 1) & 1).astype(jnp.float32) * inv)
+        + fr[2][:, None] * (((qm >> 2) & 1).astype(jnp.float32) * inv)
+        + fr[3][:, None] * (((qm >> 3) & 1).astype(jnp.float32) * inv)
+    )
+    occ = (fr[0] + fr[1] + fr[2] + fr[3])[:, None]   # (B, 1)
+    sub = (
+        jnp.float32(m - mm) * dot
+        + jnp.float32(mm) * occ * qs_ref[...]
+        + gap
+    )
+    sub = jnp.where(j >= cr, jnp.float32(BIG), sub)
+    dgo = jnp.float32(go) * occ
+    dge = jnp.float32(ge) * occ
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-    edge = (_program_id() == 0) | (lane == 0)
+    edge = (j == 0) | (lane == 0)
     base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
 
     d_open = Vp + dgo
@@ -103,15 +151,43 @@ def _chain_kernel(
         | (ins_opened.astype(jnp.int32) << 3)
     )
     bp_ref[0] = bp.astype(jnp.uint8)
-    v_ref[0] = Vrow
     vp_ref[...] = Vrow
     dp_ref[...] = Drow
+
+    # in-kernel end selection (mesh.h:569-592 semantics; matches the
+    # XLA path's post-hoc argmins including tie order: lowest column,
+    # lowest slave index, candidate-1 preferred on equality)
+    sel = sel_ref[...]
+    val1 = jnp.min(
+        jnp.where(lane == ql - 1, Vrow, jnp.float32(BIG)), axis=1
+    )
+    upd1 = (j < cr[:, 0]) & (val1 < sel[0])
+    b1v = jnp.where(upd1, val1, sel[0])
+    b1j = jnp.where(upd1, jnp.float32(j), sel[1])
+    c2row = jnp.where(lane < ql, Vrow, jnp.float32(BIG))
+    v2 = jnp.min(c2row, axis=1)
+    i2 = jnp.min(
+        jnp.where(c2row == v2[:, None], lane, m_len), axis=1
+    ).astype(jnp.float32)
+    upd2 = j == (cr[:, 0] - 1)
+    b2v = jnp.where(upd2, v2, sel[2])
+    b2i = jnp.where(upd2, i2, sel[3])
+    sel_ref[...] = jnp.stack([b1v, b1j, b2v, b2i])
+
+    use2 = b2v < b1v
+    best_ref[0] = jnp.where(
+        use2, (cr[:, 0] - 1).astype(jnp.float32), b1j
+    )
+    best_ref[1] = jnp.where(
+        use2, b2i, (ql[:, 0] - 1).astype(jnp.float32)
+    )
+    best_ref[2] = jnp.where(use2, b2v, b1v)
 
 
 def _program_id():
     from jax.experimental import pallas as pl
 
-    return pl.program_id(0)
+    return pl.program_id(1)
 
 
 def _when(cond):
@@ -122,54 +198,93 @@ def _when(cond):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("go", "ge", "c_cols", "m_len", "interpret"),
+    static_argnames=(
+        "go", "ge", "m", "mm", "c_cols", "m_len", "interpret",
+    ),
 )
-def chain_dp_pallas(
-    sub,      # (B, C, M) f32 (padded cols must hold BIG)
-    dgo,      # (B, C) f32 per-column deletion-open
-    dge,      # (B, C) f32 per-column deletion-extend
+def chain_dp_pallas_fused(
+    freqs,    # (B, C, 4) f32 profile base fractions
+    gapcost,  # (B, C) f32 per-column gap-cost term of the match cost
+    qmask,    # (B, M) uint8 query IUPAC masks
+    qlen,     # (B,) int32
+    c_real,   # (B,) int32
     go: float,
     ge: float,
+    m: float,
+    mm: float,
     c_cols: int,
     m_len: int,
     interpret: bool = False,
 ):
-    """Returns (V (C, B, M) f32, bp (C, B, M) uint8)."""
+    """Fused profile DP.  Returns (bp (C, B, M) uint8, best_c (B,)
+    i32, best_i (B,) i32, raw (B,) f32).  Batches larger than the
+    VMEM-sized chunk run as extra (sequential) grid steps, so B scales
+    to hundreds without touching HBM working-set limits."""
     from jax.experimental import pallas as pl
 
-    B = sub.shape[0]
+    B = freqs.shape[0]
     C, M = c_cols, m_len
-    sub_t = sub.transpose(1, 0, 2)          # (C, B, M)
-    # (C, 1, B) so the (1, 1, B) block satisfies the TPU tiling rule
-    dgo_t = dgo.T.reshape(C, 1, B)
-    dge_t = dge.T.reshape(C, 1, B)
+    BK = min(128, -(-B // 8) * 8)
+    B_pad = -(-B // BK) * BK
+    if B_pad != B:
+        pz = (0, B_pad - B)
+        freqs = jnp.pad(freqs, (pz, (0, 0), (0, 0)))
+        gapcost = jnp.pad(gapcost, (pz, (0, 0)))
+        qmask = jnp.pad(qmask, (pz, (0, 0)))
+        qlen = jnp.pad(qlen, pz, constant_values=1)
+        c_real = jnp.pad(c_real, pz, constant_values=1)
+    nb = B_pad // BK
+
+    fr_t = freqs.transpose(1, 2, 0)          # (C, 4, B)
+    gap_t = gapcost.T.reshape(C, 1, B_pad)   # (C, 1, B)
+    lens = jnp.stack(
+        [qlen.astype(jnp.int32), c_real.astype(jnp.int32)]
+    )                                        # (2, B)
 
     kernel = functools.partial(
-        _chain_kernel, go=go, ge=ge, m_len=M
+        _fused_kernel, go=go, ge=ge, m=m, mm=mm, m_len=M
     )
-    V, bp = pl.pallas_call(
+    bp, best = pl.pallas_call(
         kernel,
-        grid=(C,),
+        grid=(nb, C),
         in_specs=[
-            pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, B), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, 4, BK), lambda b, j: (j, 0, b)),
+            pl.BlockSpec((1, 1, BK), lambda b, j: (j, 0, b)),
+            pl.BlockSpec((BK, M), lambda b, j: (b, 0)),
+            pl.BlockSpec((2, BK), lambda b, j: (0, b)),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
-            pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
+            pl.BlockSpec((1, BK, M), lambda b, j: (j, b, 0)),
+            pl.BlockSpec((3, BK), lambda b, j: (0, b)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, B, M), jnp.float32),
-            jax.ShapeDtypeStruct((C, B, M), jnp.uint8),
+            jax.ShapeDtypeStruct((C, B_pad, M), jnp.uint8),
+            jax.ShapeDtypeStruct((3, B_pad), jnp.float32),
         ],
         scratch_shapes=[
-            _vmem((B, M), jnp.float32),
-            _vmem((B, M), jnp.float32),
+            _vmem((BK, M), jnp.float32),
+            _vmem((BK, M), jnp.float32),
+            _vmem((BK, M), jnp.float32),
+            _vmem((BK, M), jnp.float32),
+            _vmem((4, BK), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
-    )(sub_t, dgo_t, dge_t)
-    return V, bp
+    )(fr_t, gap_t, qmask, lens)
+    return (
+        bp[:, :B],
+        best[0, :B].astype(jnp.int32),
+        best[1, :B].astype(jnp.int32),
+        best[2, :B],
+    )
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+    )
 
 
 def _vmem(shape, dtype):
@@ -286,92 +401,3 @@ def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
         ),
     )
     return log
-
-
-def chain_traceback(bp, best_c, best_i, m_len: int):
-    """Traceback for one query over compact chain backpointers
-    bp (C, M) uint8.  Returns emit (M,) int32 (column index per slave
-    base, -1 = unconsumed).  Chain-specialised version of
-    align_kernel.traceback_device (pred is always c-1)."""
-
-    M = m_len
-
-    def cond(c):
-        return c[3] != _S_DONE
-
-    def body(carry):
-        j, i, emit, state = carry
-        cell = bp[j, i].astype(jnp.int32)
-        code = cell & 0x3
-        dopen = (cell >> 2) & 1
-        iopen = (cell >> 3) & 1
-        at_edge = (i == 0) | (j == 0)
-
-        def s_resolve(_):
-            is_del = (code == CODE_DEL) & ~at_edge
-            nxt_emit = jnp.where(is_del, emit, emit.at[i].set(j))
-            return j, i, nxt_emit, jnp.where(
-                is_del, _S_CHAIN, _S_DECIDE
-            )
-
-        def mk_chain(nxt):
-            def s_chain(_):
-                pj = jnp.maximum(j - 1, 0)
-                stop = (dopen == 1) | (pj == 0)
-                return pj, i, emit, jnp.where(
-                    stop, nxt, _S_CHAIN if nxt == _S_RESOLVE
-                    else _S_CHAIN_NE
-                )
-            return s_chain
-
-        def s_decide(_):
-            done = at_edge | (code == CODE_EDGE)
-            is_m = code == CODE_MATCH
-            is_i = code == CODE_INS
-            nj = jnp.where(is_m & ~done, j - 1, j)
-            ni = jnp.where(is_m & ~done, i - 1, i)
-            ns = jnp.where(
-                done, _S_DONE,
-                jnp.where(
-                    is_m, _S_RESOLVE,
-                    jnp.where(is_i, _S_INS, _S_CHAIN_NE),
-                ),
-            )
-            return nj, ni, emit, ns
-
-        def s_ins(_):
-            ni = i - 1
-            done = ni < 0
-            safe = jnp.maximum(ni, 0)
-            nxt_emit = jnp.where(done, emit, emit.at[safe].set(j))
-            ns = jnp.where(
-                done, _S_DONE,
-                jnp.where(iopen == 1, _S_DECIDE, _S_INS),
-            )
-            return j, safe, nxt_emit, ns
-
-        return jax.lax.switch(
-            state,
-            [
-                s_resolve,
-                mk_chain(_S_RESOLVE),
-                s_decide,
-                s_ins,
-                s_resolve,          # unused slot (parity with graph)
-                mk_chain(_S_DECIDE),
-            ],
-            None,
-        )
-
-    emit0 = jnp.full((M,), -1, dtype=jnp.int32)
-    j, i, emit, state = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            best_c.astype(jnp.int32),
-            best_i.astype(jnp.int32),
-            emit0,
-            jnp.int32(_S_RESOLVE),
-        ),
-    )
-    return emit

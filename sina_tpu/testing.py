@@ -247,7 +247,7 @@ def make_reference_ltp(
     width: int = 6000,
     seed: int = 1234,
     level_sub: tuple = (0.52, 0.30, 0.16, 0.08, 0.035, 0.016),
-    level_indel: tuple = (9.0, 6.0, 4.0, 2.5, 1.4, 0.8),
+    level_indel: tuple = (3.5, 2.5, 2.0, 1.6, 1.0, 0.6),
     var_frac: float = 0.42,
     cons_rate: float = 0.22,
     n_stems: int = 0,
@@ -352,15 +352,26 @@ def make_reference_ltp(
         p = level_sub[lvl] * rates[None, :]
         sub = (rng.random(child.shape) < p) & (child != 0)
         child[sub] = _BASES[rng.integers(0, 4, size=int(sub.sum()))]
-        # indel events: per child, Poisson(level_indel) run events in
-        # variable regions; half deletions, half insertions
+        # indel events: per child, Poisson(level_indel) run events at
+        # shared hotspot sites (real rRNA indels concentrate in a few
+        # hypervariable regions, so related lineages indel at the SAME
+        # columns and distant families still keep register); half
+        # deletions, half insertions
         n_ev = rng.poisson(level_indel[lvl], size=n_child)
         var_core = np.nonzero(rate_core > 0.5)[0]
+        if lvl == 0:
+            hotspots = var_core[
+                rng.choice(
+                    len(var_core),
+                    size=min(30, len(var_core)),
+                    replace=False,
+                )
+            ]
         core_ext_idx = np.nonzero(is_core)[0]
         for c in range(n_child):
             for _ in range(int(n_ev[c])):
                 run = 1 + min(int(rng.geometric(0.55)), 5)
-                ci = int(var_core[rng.integers(0, len(var_core))])
+                ci = int(hotspots[rng.integers(0, len(hotspots))])
                 if rng.random() < 0.5:
                     # deletion: zero `run` consecutive core columns
                     lo = core_ext_idx[ci]
