@@ -388,8 +388,10 @@ def config_from_args(args) -> PipelineConfig:
 
 
 def setup_logging(verbose: int, quiet: int, log_file: str = "") -> None:
+    from .progress import attach_terminal_sink
+
     level = logging.WARNING + 10 * quiet - 10 * verbose
-    handlers = [logging.StreamHandler(sys.stderr)]
+    handlers = [attach_terminal_sink(logging.StreamHandler(sys.stderr))]
     if log_file:
         handlers.append(logging.FileHandler(log_file))
     logging.basicConfig(

@@ -70,6 +70,16 @@ def _pallas_kernel(kmer_ref, *refs):
     out_ref[...] += acc
 
 
+# the scalar-prefetched k-mer index array lives in SMEM (1MB on
+# current TPUs); cap per-call bytes and chunk the batch above it
+_SMEM_BUDGET = 640 * 1024
+
+
+def _batch_chunks(B: int, L: int) -> int:
+    bk = max(1, _SMEM_BUDGET // (L * 4))
+    return min(B, bk)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def kmer_scores_pallas(P, kmers):
     """TPU path.  P: (R+1, S) int8, kmers: (B, L) int32 -> (B, S) int32.
@@ -95,25 +105,40 @@ def kmer_scores_pallas(P, kmers):
     def mk_index(g):
         return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, L // G),
-        in_specs=[
-            pl.BlockSpec((1, 1, S), mk_index(g)) for g in range(G)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, S), lambda b, l, kref: (b, 0, 0)
-        ),
-    )
-    out = pl.pallas_call(
-        _pallas_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, S), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-    )(kmers, *([P3] * G))
-    return out.reshape(B, S)
+    bk = _batch_chunks(B, L)
+    outs = []
+    for s in range(0, B, bk):
+        kc = jax.lax.dynamic_slice_in_dim(kmers, s, bk, 0) if (
+            s + bk <= B
+        ) else jnp.pad(
+            kmers[s:], ((0, s + bk - B), (0, 0)),
+            constant_values=P.shape[0] - 1,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bk, L // G),
+            in_specs=[
+                pl.BlockSpec((1, 1, S), mk_index(g))
+                for g in range(G)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, S), lambda b, l, kref: (b, 0, 0)
+            ),
+        )
+        outs.append(
+            pl.pallas_call(
+                _pallas_kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (bk, 1, S), jnp.int32
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                ),
+            )(kc, *([P3] * G))
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    return out[:B].reshape(B, S)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -188,25 +213,41 @@ def kmer_scores_packed_pallas(Pp, kmers, interpret: bool = False):
     def mk_index(g):
         return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, L // G),
-        in_specs=[
-            pl.BlockSpec((1, 1, Sb), mk_index(g)) for g in range(G)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, Sb), lambda b, l, kref: (b, 0, 0)
-        ),
-    )
-    out = pl.pallas_call(
-        _pallas_kernel_packed,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 8, Sb), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(kmers, *([P3] * G))
+    bk = _batch_chunks(B, L)
+    outs = []
+    for s in range(0, B, bk):
+        kc = jax.lax.dynamic_slice_in_dim(kmers, s, bk, 0) if (
+            s + bk <= B
+        ) else jnp.pad(
+            kmers[s:], ((0, s + bk - B), (0, 0)),
+            constant_values=Pp.shape[0] - 1,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bk, L // G),
+            in_specs=[
+                pl.BlockSpec((1, 1, Sb), mk_index(g))
+                for g in range(G)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, Sb), lambda b, l, kref: (b, 0, 0)
+            ),
+        )
+        outs.append(
+            pl.pallas_call(
+                _pallas_kernel_packed,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (bk, 8, Sb), jnp.int32
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                ),
+                interpret=interpret,
+            )(kc, *([P3] * G))
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    out = out[:B]
     # out[b, bit, byte] -> seq id = byte*8 + bit
     return out.transpose(0, 2, 1).reshape(B, Sb * 8)
 

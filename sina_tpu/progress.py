@@ -1,13 +1,63 @@
 """Terminal progress bars (semantics of /root/reference/src/progress.h:
 56-205): rate-limited repainting on stderr with count/total, unicode
-block bar, rate and ETA; silent when stderr is not a terminal."""
+block bar, rate and ETA; silent when stderr is not a terminal.
+
+Log interleaving: the reference's terminal_sink (progress.h:402-480)
+keeps bars as sticky status lines below the scrolling log.  Here the
+same effect comes from TerminalSinkHandler — a logging handler that
+erases the bar line before each log record and repaints the active
+bars after it (install via attach_terminal_sink; cli.setup_logging
+does when stderr is a tty)."""
 
 from __future__ import annotations
 
+import logging
 import sys
+import threading
 import time
 
 _BLOCKS = " ▏▎▍▌▋▊▉█"
+
+_active_lock = threading.Lock()
+_active_bars: list["Progress"] = []
+
+
+class TerminalSinkHandler(logging.StreamHandler):
+    """Stream handler that interleaves scrolling log lines with the
+    sticky progress-bar status line (terminal_sink semantics,
+    /root/reference/src/progress.h:402-480)."""
+
+    def emit(self, record: logging.LogRecord) -> None:
+        with _active_lock:
+            bars = [
+                b for b in _active_bars
+                if b._enabled and b.out is self.stream
+            ]
+            if bars:
+                try:
+                    self.stream.write("\r\x1b[K")
+                except Exception:  # pragma: no cover - stream gone
+                    pass
+        super().emit(record)
+        with _active_lock:
+            for b in bars:
+                b._paint(force=True)
+
+
+def attach_terminal_sink(handler: logging.Handler) -> logging.Handler:
+    """Upgrade a plain StreamHandler config to the interleaving sink
+    when its stream is a terminal; returns the handler to install."""
+    stream = getattr(handler, "stream", None)
+    if (
+        isinstance(handler, logging.StreamHandler)
+        and hasattr(stream, "isatty")
+        and stream.isatty()
+    ):
+        new = TerminalSinkHandler(stream)
+        new.setFormatter(handler.formatter)
+        new.setLevel(handler.level)
+        return new
+    return handler
 
 
 class Progress:
@@ -29,6 +79,10 @@ class Progress:
         self._last = 0.0
         self._enabled = hasattr(self.out, "isatty") and self.out.isatty()
         self._width = 30
+        self._closed = False
+        if self._enabled:
+            with _active_lock:
+                _active_bars.append(self)
 
     def set_total(self, total: int) -> None:
         self.total = total
@@ -56,7 +110,9 @@ class Progress:
             bar += _BLOCKS[part]
         return bar.ljust(self._width)
 
-    def _paint(self) -> None:
+    def _paint(self, force: bool = False) -> None:
+        if self._closed and not force:
+            return
         elapsed = time.time() - self._t0
         rate = self.count / elapsed if elapsed > 0 else 0.0
         if self.total:
@@ -80,6 +136,10 @@ class Progress:
             self._paint()
             self.out.write("\n")
             self.out.flush()
+            with _active_lock:
+                if self in _active_bars:
+                    _active_bars.remove(self)
+        self._closed = True
 
     def __enter__(self):
         return self

@@ -246,8 +246,8 @@ def make_reference_ltp(
     n_core: int = 1400,
     width: int = 6000,
     seed: int = 1234,
-    level_sub: tuple = (0.52, 0.30, 0.16, 0.08, 0.035, 0.016),
-    level_indel: tuple = (3.5, 2.5, 2.0, 1.6, 1.0, 0.6),
+    level_sub: tuple = (0.46, 0.30, 0.16, 0.08, 0.035, 0.016),
+    level_indel: tuple = (2.2, 1.8, 1.5, 1.2, 0.85, 0.55),
     var_frac: float = 0.42,
     cons_rate: float = 0.22,
     n_stems: int = 0,

@@ -150,3 +150,26 @@ def test_packed_incidence_matches_dense():
         )
     )
     np.testing.assert_array_equal(pal, packed)
+
+
+def test_pallas_kmer_batch_chunking(monkeypatch):
+    """Batches whose scalar-prefetch kmer array would overflow SMEM
+    (1MB) split into chunks; results identical to the XLA path."""
+    import jax.numpy as jnp
+
+    from sina_tpu.ops import kmer_kernel as kk
+
+    monkeypatch.setattr(kk, "_SMEM_BUDGET", 128)  # bk=4 at L=8
+    rng = np.random.default_rng(0)
+    Pp = rng.integers(0, 256, (257, 16), dtype=np.uint8)
+    Pp[-1] = 0
+    kmers = rng.integers(0, 256, (13, 8), dtype=np.int32)
+    a = np.asarray(
+        kk.kmer_scores_packed_pallas(
+            jnp.asarray(Pp), jnp.asarray(kmers), interpret=True
+        )
+    )
+    b = np.asarray(
+        kk.kmer_scores_packed_xla(jnp.asarray(Pp), jnp.asarray(kmers))
+    )
+    np.testing.assert_array_equal(a, b)
