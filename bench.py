@@ -50,7 +50,34 @@ def main() -> int:
         help="measure the search+LCA stage (candidate retrieval, "
         "comparator rescoring, taxonomy vote) instead of alignment",
     )
+    ap.add_argument(
+        "--curve", action="store_true",
+        help="throughput-vs-index-size curve: run the full-length "
+        "workload at n_refs = 2k / 20k / 100k (width 50k for the "
+        "SILVA-scale points) and print one JSON line per point",
+    )
     args = ap.parse_args()
+
+    if args.curve:
+        import subprocess
+
+        for n, w, nc in (
+            (2000, 2400, 1450),
+            (20000, 50000, 1450),
+            (100000, 50000, 1450),
+        ):
+            subprocess.run(
+                [
+                    sys.executable, __file__,
+                    "--n-refs", str(n), "--width", str(w),
+                    "--n-core", str(nc),
+                    "--n-queries", str(args.n_queries),
+                    "--batch-size", str(args.batch_size),
+                ]
+                + (["--cpu"] if args.cpu else []),
+                check=False,
+            )
+        return 0
 
     if args.cpu:
         import jax
@@ -238,6 +265,8 @@ def main() -> int:
                 "value": round(rate, 2),
                 "unit": "seq/s",
                 "vs_baseline": round(rate / baseline, 2),
+                "n_refs": args.n_refs,
+                "width": args.width,
             }
         )
     )

@@ -224,13 +224,9 @@ def chain_dp_pallas_fused(
 
     B = freqs.shape[0]
     C, M = c_cols, m_len
-    # batch chunk sized to VMEM: ~12 (BK, M) f32 planes live at peak
-    # (vp/dp/inv/qs + temporaries), budget ~10MB.  Short queries
-    # (amplicons, M=256) then run 4x wider per grid step than
-    # full-length (M=1536).
-    cap = max(64, int(10.5e6 / (48 * M)))
-    cap = 1 << (cap.bit_length() - 1)
-    BK = min(cap, -(-B // 8) * 8)
+    # batch chunk: 128 measured fastest on v5e across M=256..1792
+    # (larger chunks spill vregs — (512, 256) planes regressed 20%)
+    BK = min(128, -(-B // 8) * 8)
     B_pad = -(-B // BK) * BK
     if B_pad != B:
         pz = (0, B_pad - B)

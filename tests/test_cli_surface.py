@@ -176,3 +176,49 @@ def test_show_conf_effective_modules(tmp_path, capsys):
     assert "[famfinder]" in err
     assert "fs_max = 5" in err
     assert "[aligner]" in err
+
+
+def test_terminal_sink_interleaves_bars(capsys):
+    """TerminalSinkHandler erases the bar line before a log record
+    and repaints active bars after (terminal_sink semantics,
+    progress.h:402-480)."""
+    import io
+    import logging as _logging
+
+    from sina_tpu import progress as prog
+
+    class Tty(io.StringIO):
+        def isatty(self):
+            return True
+
+    stream = Tty()
+    h = prog.attach_terminal_sink(_logging.StreamHandler(stream))
+    assert isinstance(h, prog.TerminalSinkHandler)
+    lg = _logging.getLogger("sina.test_sink")
+    lg.addHandler(h)
+    lg.setLevel(_logging.INFO)
+    try:
+        bar = prog.Progress("work", total=10, out=stream,
+                            min_interval=0.0)
+        bar.update(3)
+        lg.info("hello from the log")
+        out = stream.getvalue()
+        # bar painted, erased before the log line, repainted after
+        assert "work:" in out
+        assert "hello from the log" in out
+        tail = out.split("hello from the log")[-1]
+        assert "work:" in tail  # repaint after the record
+        bar.close()
+        assert bar not in prog._active_bars
+    finally:
+        lg.removeHandler(h)
+
+
+def test_attach_terminal_sink_passthrough_non_tty():
+    import io
+    import logging as _logging
+
+    from sina_tpu.progress import attach_terminal_sink
+
+    h = _logging.StreamHandler(io.StringIO())
+    assert attach_terminal_sink(h) is h
