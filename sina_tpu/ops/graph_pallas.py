@@ -92,131 +92,127 @@ def _graph_kernel(
     vlm = vlane_ref[...] != 0               # lane < qlen
     llm = llane_ref[...] != 0               # lane == qlen-1
     big = jnp.full((B, M), BIG, dtype=jnp.float32)
-    zeros_i = jnp.zeros((B, M), dtype=jnp.int32)
 
-    # `tile` graph nodes are relaxed per grid step: one node's (B, M)
-    # row math is far too little work to amortise the per-step grid
-    # machinery, so the node loop runs *inside* the kernel and the
-    # grid shrinks n_steps/tile-fold.  The loop is sequential either
-    # way (ring dependencies); semantics are identical.
-    def node_step(t, _):
-        j = pid * tile + t
-        nmask = nmask_ref[t, 0][:, None]        # (B, 1) int32
-        subw = subw_ref[t, 0][:, None]          # (B, 1) f32
-        dgo = dgo_ref[t, 0][:, None]
-        dge = dge_ref[t, 0][:, None]
-        gio = gio_ref[t, 0][:, None]
-        gie = gie_ref[t, 0][:, None]
-        predbits = predbits_ref[t, 0][:, None]  # (B, 1) int32
-        flags = flags_ref[t, 0][:, None]        # (B, 1) int32
-        start_b = (flags & 1) != 0
-        end_b = (flags & 2) != 0
-        valid_b = (flags & 4) != 0
+    # `tile` graph nodes are relaxed per grid step in blocks of K,
+    # with the K inner nodes STATICALLY unrolled: node j's ring slot
+    # is j % K = u (tile is a multiple of K), so every ring read and
+    # write is a static VMEM slice.  The previous formulation indexed
+    # the ring dynamically per probe, which Mosaic lowers to a whole
+    # (B, M) plane copy — 2(K-1) copies per node dwarfed the actual
+    # DP math (~40x the elementwise op count).
+    def block_step(g, _):
+        for u in range(K):
+            t = g * K + u
+            j = pid * tile + t
+            nmask = nmask_ref[t, 0][:, None]        # (B, 1) int32
+            subw = subw_ref[t, 0][:, None]          # (B, 1) f32
+            dgo = dgo_ref[t, 0][:, None]
+            dge = dge_ref[t, 0][:, None]
+            gio = gio_ref[t, 0][:, None]
+            gie = gie_ref[t, 0][:, None]
+            predbits = predbits_ref[t, 0][:, None]  # (B, 1) int32
+            flags = flags_ref[t, 0][:, None]        # (B, 1) int32
+            start_b = (flags & 1) != 0
+            end_b = (flags & 2) != 0
+            valid_b = (flags & 4) != 0
 
-        compat = (nmask & qm & 0xF) != 0
-        sub = jnp.where(
-            compat, jnp.float32(match), jnp.float32(mismatch)
-        ) * subw
+            compat = (nmask & qm & 0xF) != 0
+            sub = jnp.where(
+                compat, jnp.float32(match), jnp.float32(mismatch)
+            ) * subw
 
-        # masked ring probe over predecessor distances.  Ascending d
-        # with <= keeps the largest distance on ties = the lowest
-        # pred node id, matching the XLA core's first-slot argmin
-        # over id-ascending pred lists.
-        # ring probe as an in-kernel fori_loop: a static unroll keeps
-        # every iteration's (B, M) temporaries live on the Mosaic
-        # stack and blows the VMEM budget; the loop form reuses one
-        # iteration's worth.  dopen carried as int32 (carried bool
-        # planes hit an unsupported i8->i1 trunci in Mosaic).
-        def probe(d, acc):
-            vmin, mdist, dmin, ddist, dopen = acc
-            ok = ((predbits >> d) & 1) != 0     # (B, 1)
-            row = jnp.remainder(j - d, K)
-            Vp = vring_ref[row]
-            Dp = dring_ref[row]
-            vc = jnp.where(ok, Vp, BIG)
-            upd = vc <= vmin
-            vmin = jnp.where(upd, vc, vmin)
-            mdist = jnp.where(upd, d, mdist)
-            do_ = jnp.where(ok, Vp + dgo, BIG)
-            de_ = jnp.where(ok, Dp + dge, BIG)
-            dc = jnp.minimum(do_, de_)
-            updd = dc <= dmin
-            dmin = jnp.where(updd, dc, dmin)
-            ddist = jnp.where(updd, d, ddist)
-            dopen = jnp.where(
-                updd, (do_ < de_).astype(jnp.int32), dopen
+            # masked ring probe over predecessor distances, all rows
+            # static.  Ascending d with <= keeps the largest distance
+            # on ties = the lowest pred node id, matching the XLA
+            # core's first-slot argmin over id-ascending pred lists.
+            vmin = big
+            dmin = big
+            mdist = jnp.zeros((B, M), dtype=jnp.int32)
+            ddist = jnp.zeros((B, M), dtype=jnp.int32)
+            dopen = jnp.zeros((B, M), dtype=jnp.int32)
+            for d in range(1, K):
+                row = (u - d) % K
+                ok = ((predbits >> d) & 1) != 0     # (B, 1)
+                Vp = vring_ref[row]
+                Dp = dring_ref[row]
+                vc = jnp.where(ok, Vp, BIG)
+                upd = vc <= vmin
+                vmin = jnp.where(upd, vc, vmin)
+                mdist = jnp.where(upd, d, mdist)
+                do_ = jnp.where(ok, Vp + dgo, BIG)
+                de_ = jnp.where(ok, Dp + dge, BIG)
+                dc = jnp.minimum(do_, de_)
+                updd = dc <= dmin
+                dmin = jnp.where(updd, dc, dmin)
+                ddist = jnp.where(updd, d, ddist)
+                dopen = jnp.where(
+                    updd, (do_ < de_).astype(jnp.int32), dopen
+                )
+
+            edge = start_b | (lane == 0)
+            base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
+            Drow = jnp.minimum(base, dmin)
+
+            Mc = _shift_right(vmin, 1, BIG) + sub
+            mdist_sh = _shift_right(mdist, 1, 0)
+
+            U = base
+            codeU = jnp.zeros((B, M), dtype=jnp.int32)
+            take_d = dmin < U
+            U = jnp.where(take_d, dmin, U)
+            codeU = jnp.where(take_d, CODE_DEL, codeU)
+            take_m = Mc < U
+            U = jnp.where(take_m, Mc, U)
+            codeU = jnp.where(take_m, CODE_MATCH, codeU)
+
+            # insertion track: closed-form prefix-min by doubling
+            flane = lane.astype(jnp.float32)
+            cand = U + gio - (flane + 1.0) * gie
+            x = cand
+            n = 1
+            while n < m_len:
+                x = jnp.minimum(x, _shift_right(x, n, BIG))
+                n *= 2
+            prefix = jnp.minimum(
+                _shift_right(x, 1, BIG), jnp.float32(1.0)
             )
-            return vmin, mdist, dmin, ddist, dopen
+            Irow = prefix + flane * gie
+            Iprev = _shift_right(Irow, 1, BIG)
+            Uprev = _shift_right(U, 1, BIG)
+            ins_opened = (Uprev + gio) <= (Iprev + gie)
 
-        vmin, mdist, dmin, ddist, dopen = jax.lax.fori_loop(
-            1, K, probe, (big, zeros_i, big, zeros_i, zeros_i)
-        )
+            take_i = Irow <= U
+            Vrow = jnp.where(take_i, Irow, U)
+            code = jnp.where(take_i, CODE_INS, codeU)
 
-        edge = start_b | (lane == 0)
-        base = jnp.where(edge, jnp.float32(1.0), jnp.float32(BIG))
-        Drow = jnp.minimum(base, dmin)
+            bp = (
+                code
+                | (mdist_sh << 2)
+                | (ddist << 7)
+                | (dopen << 12)
+                | (ins_opened.astype(jnp.int32) << 13)
+            )
+            bp_ref[t] = bp.astype(jnp.uint16)
 
-        Mc = _shift_right(vmin, 1, BIG) + sub
-        mdist_sh = _shift_right(mdist, 1, 0)
+            vring_ref[u] = Vrow
+            dring_ref[u] = Drow
 
-        U = base
-        codeU = jnp.zeros((B, M), dtype=jnp.int32)
-        take_d = dmin < U
-        U = jnp.where(take_d, dmin, U)
-        codeU = jnp.where(take_d, CODE_DEL, codeU)
-        take_m = Mc < U
-        U = jnp.where(take_m, Mc, U)
-        codeU = jnp.where(take_m, CODE_MATCH, codeU)
-
-        # insertion track: closed-form prefix-min by doubling
-        flane = lane.astype(jnp.float32)
-        cand = U + gio - (flane + 1.0) * gie
-        x = cand
-        n = 1
-        while n < m_len:
-            x = jnp.minimum(x, _shift_right(x, n, BIG))
-            n *= 2
-        prefix = jnp.minimum(
-            _shift_right(x, 1, BIG), jnp.float32(1.0)
-        )
-        Irow = prefix + flane * gie
-        Iprev = _shift_right(Irow, 1, BIG)
-        Uprev = _shift_right(U, 1, BIG)
-        ins_opened = (Uprev + gio) <= (Iprev + gie)
-
-        take_i = Irow <= U
-        Vrow = jnp.where(take_i, Irow, U)
-        code = jnp.where(take_i, CODE_INS, codeU)
-
-        bp = (
-            code
-            | (mdist_sh << 2)
-            | (ddist << 7)
-            | (dopen << 12)
-            | (ins_opened.astype(jnp.int32) << 13)
-        )
-        bp_ref[t] = bp.astype(jnp.uint16)
-
-        slot = jnp.remainder(j, K)
-        vring_ref[slot] = Vrow
-        dring_ref[slot] = Drow
-
-        # running best-cell candidates (strict < keeps the earliest
-        # j, like the flat argmins of poa_dp_costs)
-        jf = j.astype(jnp.float32)
-        c1cand = jnp.where(llm & valid_b, Vrow, BIG)
-        c1v = c1v_ref[...]
-        upd1 = c1cand < c1v
-        c1v_ref[...] = jnp.where(upd1, c1cand, c1v)
-        c1j_ref[...] = jnp.where(upd1, jf, c1j_ref[...])
-        c2cand = jnp.where(end_b & valid_b & vlm, Vrow, BIG)
-        c2v = c2v_ref[...]
-        upd2 = c2cand < c2v
-        c2v_ref[...] = jnp.where(upd2, c2cand, c2v)
-        c2j_ref[...] = jnp.where(upd2, jf, c2j_ref[...])
+            # running best-cell candidates (strict < keeps the
+            # earliest j, like the flat argmins of poa_dp_costs)
+            jf = j.astype(jnp.float32)
+            c1cand = jnp.where(llm & valid_b, Vrow, BIG)
+            c1v = c1v_ref[...]
+            upd1 = c1cand < c1v
+            c1v_ref[...] = jnp.where(upd1, c1cand, c1v)
+            c1j_ref[...] = jnp.where(upd1, jf, c1j_ref[...])
+            c2cand = jnp.where(end_b & valid_b & vlm, Vrow, BIG)
+            c2v = c2v_ref[...]
+            upd2 = c2cand < c2v
+            c2v_ref[...] = jnp.where(upd2, c2cand, c2v)
+            c2j_ref[...] = jnp.where(upd2, jf, c2j_ref[...])
         return 0
 
-    jax.lax.fori_loop(0, tile, node_step, 0)
+    jax.lax.fori_loop(0, tile // K, block_step, 0)
 
     @pl.when(pid == n_steps // tile - 1)
     def _final():
@@ -356,12 +352,23 @@ def pack_graph_host(mask, preds, is_start, is_end, n_real):
     per-node distance *bitmask* (B, N) int32 (8x fewer bytes at P=8),
     and the three boolean planes + n_real fold into one (B, N) uint8
     flag plane.  Bit-identical to the former on-device computation."""
+    from .. import native
+
     mask = np.asarray(mask)
     preds = np.asarray(preds)
     is_start = np.asarray(is_start)
     is_end = np.asarray(is_end)
     n_real = np.asarray(n_real)
     B, N = mask.shape
+    nat = native.pack_graph(
+        preds.astype(np.int32, copy=False),
+        is_start.astype(np.uint8, copy=False),
+        is_end.astype(np.uint8, copy=False),
+        n_real.astype(np.int64, copy=False),
+    )
+    if nat is not None:
+        predbits, flags = nat
+        return mask.astype(np.uint8), predbits, flags
     nodeid = np.arange(N, dtype=np.int64)[None, :, None]
     dist = nodeid - preds                                   # (B, N, P)
     okp = (preds >= 0) & (dist > 0) & (dist < 32)
@@ -411,7 +418,7 @@ def graph_dp_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("n_nodes", "m_len", "k_ring", "params",
-                     "interpret"),
+                     "interpret", "with_traceback"),
 )
 def graph_dp_pallas_packed(
     pos,          # (B, N) int32
@@ -427,11 +434,13 @@ def graph_dp_pallas_packed(
     k_ring: int,
     params: DpParams,
     interpret: bool = False,
+    with_traceback: bool = True,
 ):
     """Batched Pallas graph DP + device traceback.  Same contract as
     align_kernel.poa_dp_batch: returns (emit (B, M) int32, best_j,
     best_i, raw).  Requires every predecessor within k_ring topo
-    positions (the dispatcher checks)."""
+    positions (the dispatcher checks).  with_traceback=False skips
+    the traceback (emit all -1) — profiling/debug only."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -495,6 +504,12 @@ def graph_dp_pallas_packed(
             pltpu.VMEM((B, M), jnp.float32),
             pltpu.VMEM((B, M), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the K-unrolled node block keeps more temporaries live
+            # than the 16MB default scoped budget; v5e has 128MB VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         per_step(mask, jnp.int32), per_step(subw, jnp.float32),
@@ -516,6 +531,11 @@ def graph_dp_pallas_packed(
     best_i = jnp.where(use2, i2.astype(jnp.int32), qlen - 1)
     raw = jnp.where(use2, v2, v1)
 
+    if not with_traceback:
+        emit = jnp.full((B, M), -1, jnp.int32) + bp[0, :, :1].astype(
+            jnp.int32
+        ) * 0
+        return emit, best_j, best_i, raw
     emit = jax.vmap(
         functools.partial(
             traceback_device_dist, n_nodes=N, m_len=M
@@ -527,29 +547,36 @@ def graph_dp_pallas_packed(
 
 def pick_tile(n_nodes: int, b: int, m_len: int, k_ring: int,
               budget_mb: float = 6.0) -> int:
-    """Nodes relaxed per grid step: largest power-of-two divisor of
-    n_nodes whose double-buffered (T, B, M) uint16 backpointer block
-    fits the budget (the ring/candidate scratch has its own budget in
+    """Nodes relaxed per grid step: largest multiple of k_ring (so
+    ring slots stay static, see _graph_kernel) that divides n_nodes
+    and whose double-buffered (T, B, M) uint16 backpointer block fits
+    the budget (the ring/candidate scratch has its own budget in
     pick_chunk)."""
     t_max = int(budget_mb * 2**20 // (b * m_len * 2 * 2))
-    t = 1
-    while t * 2 <= min(64, max(t_max, 1)) and n_nodes % (t * 2) == 0:
+    t = k_ring
+    if n_nodes % t != 0:
+        return 0  # caller pads n_nodes to a k_ring multiple
+    while t * 2 <= min(64, max(t_max, t)) and n_nodes % (t * 2) == 0:
         t *= 2
     return t
 
 
 def pick_k_ring(maxd: int) -> int:
-    """Smallest supported ring depth covering max pred distance."""
-    for k in (8, 12, 16, 20, 24, 32):
+    """Smallest supported ring depth covering max pred distance
+    (powers of two only: ring slots must be static under the
+    K-unrolled node loop)."""
+    for k in (8, 16, 32):
         if maxd < k:
             return k
     return 0
 
 
-def pick_chunk(m_len: int, k_ring: int, budget_mb: float = 6.0) -> int:
+def pick_chunk(m_len: int, k_ring: int, budget_mb: float = 28.0) -> int:
     """Largest power-of-two batch whose VMEM state (two (K, B, M)
-    rings + four (B, M) candidate planes) fits the budget."""
-    per_b = m_len * 4 * (2 * k_ring + 6)
+    rings + four (B, M) candidate planes + ~14 live temporaries in
+    the K-unrolled node block) fits the budget (the kernel raises the
+    scoped VMEM limit to 100MB of v5e's 128MB)."""
+    per_b = m_len * 4 * (2 * k_ring + 6 + 14)
     b = int(budget_mb * 2**20 // per_b)
     b = 1 << max(b.bit_length() - 1, 0)
     return max(8, min(128, b))
