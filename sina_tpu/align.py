@@ -377,7 +377,9 @@ def align_batch(
     )
 
 
-def _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params):
+def _graph_dp_pallas_chunked(
+    stacks, npad, mpad, maxd, params, max_insert=None
+):
     """Run the Pallas graph kernel over VMEM-budgeted chunks of the
     bucket; chunks are padded by edge-replication to keep compile
     shapes stable.  Returns (emit, best_j, best_i, raw) across the
@@ -405,7 +407,9 @@ def _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params):
         mask_u8, predbits, flags = pack_graph_host(
             mask, preds, is_start, is_end, nr
         )
-    packed = (pos, mask_u8, weight, predbits, flags, qm, ql, cw)
+    packed = [pos, mask_u8, weight, predbits, flags, qm, ql, cw]
+    if max_insert is not None:
+        packed.append(np.asarray(max_insert))
     B = pos.shape[0]
     outs = []
     with t.section("launch"):
@@ -508,13 +512,17 @@ def _dispatch_graph_bucket(
             qm, ql, nr, cw_pad,
         )
         use_pallas = (
-            max_ins is None
-            and window is not None
+            window is not None
             and jax.default_backend() in ("tpu", "axon")
         )
         if use_pallas:
             out = _graph_dp_pallas_chunked(
-                stacks, npad, mpad, maxd, params
+                stacks, npad, mpad, maxd, params,
+                max_insert=(
+                    np.stack([g.max_insert for g in g_list])
+                    if max_ins is not None
+                    else None
+                ),
             )
         else:
             out = ak.poa_dp_batch(

@@ -63,14 +63,55 @@ def _shift_right(x, n: int, fill):
     return jnp.where(lane < n, jnp.asarray(fill, dtype=x.dtype), rolled)
 
 
+def _dyn_shift_right(x, r, m_len: int, fill):
+    """Shift lanes right by a per-row traced amount r (B, 1) via its
+    binary decomposition (log2(M) static shifts + selects)."""
+    out = x
+    n, k = 1, 0
+    while n < m_len:
+        bit = ((r >> k) & 1) != 0
+        out = jnp.where(bit, _shift_right(out, n, fill), out)
+        n *= 2
+        k += 1
+    return out
+
+
+def _windowed_min_rows(x, R, m_len: int):
+    """Per-row trailing-window minimum: out[b, i] = min over
+    x[b, i-R[b]+1 .. i] with traced per-row R (the aspace-aware
+    insertion budget, mesh.h:403-437).  Sparse-table doubling with a
+    per-row level select + one dynamic shift."""
+    Rc = jnp.clip(R, 1, m_len)
+    levels = [x]
+    n = 1
+    while n < m_len:
+        levels.append(
+            jnp.minimum(levels[-1], _shift_right(levels[-1], n, BIG))
+        )
+        n *= 2
+    T_sel = levels[0]
+    size_sel = jnp.ones_like(Rc)
+    n, s = 2, 1
+    while s < len(levels):
+        cond = Rc >= n
+        T_sel = jnp.where(cond, levels[s], T_sel)
+        size_sel = jnp.where(cond, n, size_sel)
+        n *= 2
+        s += 1
+    # T_sel covers [i-2^s+1, i]; the shifted copy covers
+    # [i-R+1, i-R+2^s]; union = the full trailing window
+    b2 = _dyn_shift_right(T_sel, Rc - size_sel, m_len, BIG)
+    return jnp.minimum(T_sel, b2)
+
+
 def _graph_kernel(
     nmask_ref, subw_ref, dgo_ref, dge_ref, gio_ref, gie_ref,
-    predbits_ref, flags_ref,
+    predbits_ref, flags_ref, budget_ref,
     qmask_ref, vlane_ref, llane_ref,
     bp_ref, best_ref,
     vring_ref, dring_ref, c1v_ref, c1j_ref, c2v_ref, c2j_ref,
     *, match: float, mismatch: float, k_ring: int, m_len: int,
-    n_steps: int, tile: int,
+    n_steps: int, tile: int, aspace: bool,
 ):
     from jax.experimental import pallas as pl
 
@@ -168,14 +209,24 @@ def _graph_kernel(
             # insertion track: closed-form prefix-min by doubling
             flane = lane.astype(jnp.float32)
             cand = U + gio - (flane + 1.0) * gie
-            x = cand
-            n = 1
-            while n < m_len:
-                x = jnp.minimum(x, _shift_right(x, n, BIG))
-                n *= 2
-            prefix = jnp.minimum(
-                _shift_right(x, 1, BIG), jnp.float32(1.0)
-            )
+            if aspace:
+                # bounded runs, no edge seed (--insertion=forbid,
+                # mesh.h:403-437)
+                budget = budget_ref[t, 0][:, None]  # (B, 1) int32
+                wm = _windowed_min_rows(cand, budget, m_len)
+                prefix = _shift_right(wm, 1, BIG)
+                prefix = jnp.where(
+                    budget < 1, jnp.float32(BIG), prefix
+                )
+            else:
+                x = cand
+                n = 1
+                while n < m_len:
+                    x = jnp.minimum(x, _shift_right(x, n, BIG))
+                    n *= 2
+                prefix = jnp.minimum(
+                    _shift_right(x, 1, BIG), jnp.float32(1.0)
+                )
             Irow = prefix + flane * gie
             Iprev = _shift_right(Irow, 1, BIG)
             Uprev = _shift_right(U, 1, BIG)
@@ -402,6 +453,7 @@ def graph_dp_pallas(
     k_ring: int,
     params: DpParams,
     interpret: bool = False,
+    max_insert=None,
 ):
     """Compatibility wrapper over graph_dp_pallas_packed: packs the
     predecessor lists and flag planes on host (see pack_graph_host)."""
@@ -410,7 +462,8 @@ def graph_dp_pallas(
     )
     return graph_dp_pallas_packed(
         pos, mask_u8, weight, predbits, flags, qmask, qlen,
-        col_weights, n_nodes=n_nodes, m_len=m_len, k_ring=k_ring,
+        col_weights, max_insert,
+        n_nodes=n_nodes, m_len=m_len, k_ring=k_ring,
         params=params, interpret=interpret,
     )
 
@@ -429,6 +482,8 @@ def graph_dp_pallas_packed(
     qmask,        # (B, M) int32
     qlen,         # (B,) int32
     col_weights,  # (B, W) f32
+    max_insert=None,  # (B, N) int32 insertion budget (forbid mode)
+    *,
     n_nodes: int,
     m_len: int,
     k_ring: int,
@@ -476,18 +531,24 @@ def graph_dp_pallas_packed(
     vlane = (lane < qlen[:, None]).astype(jnp.int32)
     llane = (lane == qlen[:, None] - 1).astype(jnp.int32)
 
+    aspace = max_insert is not None
+    budget = (
+        jnp.asarray(max_insert).astype(jnp.int32)
+        if aspace
+        else jnp.zeros((B, N), jnp.int32)
+    )
     T = pick_tile(N, B, M, K)
     kernel = functools.partial(
         _graph_kernel,
         match=params.match, mismatch=params.mismatch,
-        k_ring=K, m_len=M, n_steps=N, tile=T,
+        k_ring=K, m_len=M, n_steps=N, tile=T, aspace=aspace,
     )
     step_spec = pl.BlockSpec((T, 1, B), lambda i: (i, 0, 0))
     res_spec = pl.BlockSpec((B, M), lambda i: (0, 0))
     bp, best = pl.pallas_call(
         kernel,
         grid=(N // T,),
-        in_specs=[step_spec] * 8 + [res_spec] * 3,
+        in_specs=[step_spec] * 9 + [res_spec] * 3,
         out_specs=[
             pl.BlockSpec((T, B, M), lambda i: (i, 0, 0)),
             pl.BlockSpec((B, 128), lambda i: (0, 0)),
@@ -516,6 +577,7 @@ def graph_dp_pallas_packed(
         per_step(dgo, jnp.float32), per_step(dge, jnp.float32),
         per_step(gio, jnp.float32), per_step(gie, jnp.float32),
         per_step(predbits, jnp.int32), per_step(flags, jnp.int32),
+        per_step(budget, jnp.int32),
         qmask.astype(jnp.int32), vlane, llane,
     )
 

@@ -135,3 +135,70 @@ def test_chunked_dispatch_helper():
     got = _graph_dp_pallas_chunked(stacks, npad, mpad, maxd, params)
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_pallas_forbid_matches_xla_core():
+    """--insertion=forbid (bounded insertion budget) in the Pallas
+    kernel vs the XLA windowed core: bit-exact."""
+    db = testing.make_reference(n_seqs=40, n_core=200, width=350,
+                                seed=12)
+    n_queries = 3
+    graphs, raw_nodes, qs = [], [], []
+    for i in range(n_queries):
+        fam = db.sequences[3 * i : 3 * i + 9]
+        g = build_graph(fam)
+        raw_nodes.append(g.n_nodes)
+        graphs.append(g)
+        qs.append(
+            testing.unaligned_copy(
+                testing.make_queries(
+                    db, n=1, seed=400 + i, branch_len=0.6
+                )[0]
+            )
+        )
+    npad = -(-max(g.n_nodes for g in graphs) // 64) * 64
+    mpad = -(-max(len(q.masks) for q in qs) // 64) * 64
+    graphs = [pad_graph(g, npad) for g in graphs]
+    qm = np.zeros((n_queries, mpad), np.int32)
+    ql = np.zeros(n_queries, np.int32)
+    for b, q in enumerate(qs):
+        qm[b, : len(q.masks)] = q.masks
+        ql[b] = len(q.masks)
+    nr = np.asarray(raw_nodes, np.int32)
+    wmax = max(g.width for g in graphs) + 2
+    cw = np.ones((n_queries, wmax), np.float32)
+    preds = np.stack([g.preds for g in graphs])
+    dists = np.arange(npad)[None, :, None] - preds
+    maxd = int(dists[preds >= 0].max())
+    k = pick_k_ring(maxd)
+    assert k > 0
+    max_ins = np.stack(
+        [np.clip(g.max_insert, 0, 10**6) for g in graphs]
+    ).astype(np.int32)
+
+    params = DpParams()
+    args = (
+        jnp.asarray(np.stack([g.pos for g in graphs])),
+        jnp.asarray(
+            np.stack([g.mask.astype(np.int32) for g in graphs])
+        ),
+        jnp.asarray(np.stack([g.weight for g in graphs])),
+        jnp.asarray(preds),
+        jnp.asarray(np.stack([g.is_start for g in graphs])),
+        jnp.asarray(np.stack([g.is_end for g in graphs])),
+        jnp.asarray(qm),
+        jnp.asarray(ql),
+        jnp.asarray(nr),
+        jnp.asarray(cw),
+    )
+    ref = ak.poa_dp_batch(
+        *args, params, max_insert=jnp.asarray(max_ins), window=32
+    )
+    got = graph_dp_pallas(
+        *args, n_nodes=npad, m_len=mpad, k_ring=k, params=params,
+        interpret=True, max_insert=max_ins,
+    )
+    for i, name in enumerate(("emit", "best_j", "best_i", "raw")):
+        np.testing.assert_array_equal(
+            np.asarray(ref[i]), np.asarray(got[i]), err_msg=name
+        )
