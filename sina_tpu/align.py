@@ -378,7 +378,7 @@ def align_batch(
 
 
 def _graph_dp_pallas_chunked(
-    stacks, npad, mpad, maxd, params, max_insert=None
+    stacks, npad, mpad, maxd, params, max_insert=None, subst=None
 ):
     """Run the Pallas graph kernel over VMEM-budgeted chunks of the
     bucket; chunks are padded by edge-replication to keep compile
@@ -408,25 +408,30 @@ def _graph_dp_pallas_chunked(
             mask, preds, is_start, is_end, nr
         )
     packed = [pos, mask_u8, weight, predbits, flags, qm, ql, cw]
+    opt = {}
     if max_insert is not None:
-        packed.append(np.asarray(max_insert))
+        opt["max_insert"] = np.asarray(max_insert)
+    if subst is not None:
+        opt["subst"] = np.asarray(subst)
     B = pos.shape[0]
     outs = []
     with t.section("launch"):
         for s in range(0, B, bk):
-            chunk = []
-            for a in packed:
+            def cut(a):
                 c = a[s : s + bk]
                 if c.shape[0] < bk:
                     pad = [(0, bk - c.shape[0])] + [(0, 0)] * (
                         c.ndim - 1
                     )
                     c = np.pad(c, pad, mode="edge")
-                chunk.append(jnp.asarray(c))
+                return jnp.asarray(c)
+
+            chunk = [cut(a) for a in packed]
+            kw = {kk: cut(v) for kk, v in opt.items()}
             outs.append(
                 graph_dp_pallas_packed(
                     *chunk, n_nodes=npad, m_len=mpad, k_ring=k,
-                    params=params, interpret=interp,
+                    params=params, interpret=interp, **kw,
                 )
             )
     if len(outs) == 1:
@@ -461,6 +466,7 @@ def _dispatch_graph_bucket(
         max_ins = jnp.asarray(
             np.stack([g.max_insert for g in g_list])
         )
+    subst = None
     if cfg.use_subst_matrix:
         # experimental matrix scheme: per-family log-odds matrix from
         # family base frequencies at the family's top identity
@@ -475,62 +481,62 @@ def _dispatch_graph_bucket(
                 )
                 for it in items
             ]
-        )
+        ).astype(np.float32)
         for it in items:
             it[5].append(f"using dist: {float(it[7]):.6g};")
+    preds_all = np.stack([g.preds for g in g_list])
+    # sliding-window DP core when every pred is nearby in topo
+    # order (always true for MSA-derived POA graphs in practice)
+    valid = preds_all >= 0
+    node_ids = np.arange(preds_all.shape[1])[None, :, None]
+    dists = np.where(valid, node_ids - preds_all, 0)
+    maxd = int(dists.max()) if valid.any() else 0
+    window = 32 if 0 < maxd < 32 else None
+    stacks = (
+        np.stack([g.pos for g in g_list]),
+        np.stack([g.mask.astype(np.int32) for g in g_list]),
+        np.stack([g.weight for g in g_list]),
+        preds_all,
+        np.stack([g.is_start for g in g_list]),
+        np.stack([g.is_end for g in g_list]),
+        qm, ql, nr, cw_pad,
+    )
+    budget = (
+        np.stack([g.max_insert for g in g_list])
+        if max_ins is not None
+        else None
+    )
+    use_pallas = (
+        window is not None
+        and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        out = _graph_dp_pallas_chunked(
+            stacks, npad, mpad, maxd, params,
+            max_insert=budget, subst=subst,
+        )
+    elif subst is not None:
         out = ak.poa_dp_subst_batch(
-            jnp.asarray(np.stack([g.pos for g in g_list])),
-            jnp.asarray(
-                np.stack([g.mask.astype(np.int32) for g in g_list])
-            ),
-            jnp.asarray(np.stack([g.preds for g in g_list])),
-            jnp.asarray(np.stack([g.is_start for g in g_list])),
-            jnp.asarray(np.stack([g.is_end for g in g_list])),
+            jnp.asarray(stacks[0]),
+            jnp.asarray(stacks[1]),
+            jnp.asarray(stacks[3]),
+            jnp.asarray(stacks[4]),
+            jnp.asarray(stacks[5]),
             jnp.asarray(qm),
             jnp.asarray(ql),
             jnp.asarray(nr),
             jnp.asarray(cw_pad),
             jnp.asarray(subst),
             params,
+            max_insert=max_ins,
         )
     else:
-        preds_all = np.stack([g.preds for g in g_list])
-        # sliding-window DP core when every pred is nearby in topo
-        # order (always true for MSA-derived POA graphs in practice)
-        valid = preds_all >= 0
-        node_ids = np.arange(preds_all.shape[1])[None, :, None]
-        dists = np.where(valid, node_ids - preds_all, 0)
-        maxd = int(dists.max()) if valid.any() else 0
-        window = 32 if 0 < maxd < 32 else None
-        stacks = (
-            np.stack([g.pos for g in g_list]),
-            np.stack([g.mask.astype(np.int32) for g in g_list]),
-            np.stack([g.weight for g in g_list]),
-            preds_all,
-            np.stack([g.is_start for g in g_list]),
-            np.stack([g.is_end for g in g_list]),
-            qm, ql, nr, cw_pad,
+        out = ak.poa_dp_batch(
+            *(jnp.asarray(a) for a in stacks),
+            params,
+            max_insert=max_ins,
+            window=window,
         )
-        use_pallas = (
-            window is not None
-            and jax.default_backend() in ("tpu", "axon")
-        )
-        if use_pallas:
-            out = _graph_dp_pallas_chunked(
-                stacks, npad, mpad, maxd, params,
-                max_insert=(
-                    np.stack([g.max_insert for g in g_list])
-                    if max_ins is not None
-                    else None
-                ),
-            )
-        else:
-            out = ak.poa_dp_batch(
-                *(jnp.asarray(a) for a in stacks),
-                params,
-                max_insert=max_ins,
-                window=window,
-            )
     for arr in out:
         try:
             arr.copy_to_host_async()

@@ -149,6 +149,7 @@ def poa_dp_subst(
     node_pos, node_mask, preds, is_start, is_end,
     qmask, qlen, n_real, col_weights, subst,
     n_nodes: int, m_len: int, params: DpParams,
+    ins_budget=None,
 ):
     """Graph-mode DP under the experimental substitution-matrix
     scheme (scoring_scheme_matrix, scoring_schemes.h:244-311): match
@@ -158,43 +159,69 @@ def poa_dp_subst(
     N, M = n_nodes, m_len
     go, ge = jnp.float32(params.gap_open), jnp.float32(params.gap_ext)
     wcol = col_weights[node_pos]
-    bits_n = jnp.stack(
-        [(node_mask >> s) & 1 for s in range(4)], axis=1
-    ).astype(jnp.float32)                              # (N, 4)
-    bits_q = jnp.stack(
-        [(qmask >> s) & 1 for s in range(4)], axis=1
-    ).astype(jnp.float32)                              # (M, 4)
-    numer = bits_n @ subst @ bits_q.T                  # (N, M) MXU
-    denom = jnp.maximum(
-        bits_n.sum(1)[:, None] * bits_q.sum(1)[None, :], 1.0
-    )
+    bits_n = [
+        ((node_mask >> s) & 1).astype(jnp.float32) for s in range(4)
+    ]                                                  # 4 x (N,)
+    bits_q = [
+        ((qmask >> s) & 1).astype(jnp.float32) for s in range(4)
+    ]                                                  # 4 x (M,)
+    # explicit per-letter sums in the same f32 op order as the
+    # Pallas graph kernel (matrix mode) so both stay bit-exact
+    numer = jnp.zeros((N, M), dtype=jnp.float32)
+    pn = jnp.zeros((N,), dtype=jnp.float32)
+    pq = jnp.zeros((M,), dtype=jnp.float32)
+    for r in range(4):
+        pq = pq + bits_q[r]
+    for l in range(4):
+        sq = jnp.zeros((M,), dtype=jnp.float32)
+        for r in range(4):
+            sq = sq + subst[l, r] * bits_q[r]
+        numer = numer + bits_n[l][:, None] * sq[None, :]
+        pn = pn + bits_n[l]
+    denom = jnp.maximum(pn[:, None] * pq[None, :], 1.0)
     sub = (numer / denom) * wcol[:, None]
     return poa_dp_costs(
         sub, go * wcol, ge * wcol, go * wcol, ge * wcol,
         preds, is_start, is_end, qlen, n_real,
-        n_nodes=N, m_len=M,
+        n_nodes=N, m_len=M, ins_budget=ins_budget,
     )
 
 
 @functools.lru_cache(maxsize=64)
-def _batched_subst_fn(n_nodes: int, m_len: int, params: DpParams):
-    def core(pos, mask, preds, st, en, qm, ql, nr, cw, subst):
+def _batched_subst_fn(n_nodes: int, m_len: int, params: DpParams,
+                      aspace: bool = False):
+    def core(pos, mask, preds, st, en, qm, ql, nr, cw, subst,
+             budget=None):
         bp, bj, bi, raw = poa_dp_subst(
             pos, mask, preds, st, en, qm, ql, nr, cw, subst,
             n_nodes=n_nodes, m_len=m_len, params=params,
+            ins_budget=budget,
         )
         emit = traceback_device(bp, bj, bi, preds, st, n_nodes, m_len)
         return emit, bj, bi, raw
 
-    return jax.jit(jax.vmap(core))
+    if aspace:
+        return jax.jit(jax.vmap(core))
+    return jax.jit(jax.vmap(lambda *a: core(*a)))
 
 
 def poa_dp_subst_batch(
     pos, mask, preds, is_start, is_end,
     qmask, qlen, n_real, col_weights, subst, params: DpParams,
+    max_insert=None,
 ):
-    """Batched substitution-matrix DP; `subst` is (B, 4, 4)."""
-    fn = _batched_subst_fn(pos.shape[1], qmask.shape[1], params)
+    """Batched substitution-matrix DP; `subst` is (B, 4, 4);
+    `max_insert` (B, N) enables the bounded-insertion (forbid)
+    transition."""
+    fn = _batched_subst_fn(
+        pos.shape[1], qmask.shape[1], params,
+        aspace=max_insert is not None,
+    )
+    if max_insert is not None:
+        return fn(
+            pos, mask, preds, is_start, is_end,
+            qmask, qlen, n_real, col_weights, subst, max_insert,
+        )
     return fn(
         pos, mask, preds, is_start, is_end,
         qmask, qlen, n_real, col_weights, subst,

@@ -107,11 +107,12 @@ def _windowed_min_rows(x, R, m_len: int):
 def _graph_kernel(
     nmask_ref, subw_ref, dgo_ref, dge_ref, gio_ref, gie_ref,
     predbits_ref, flags_ref, budget_ref,
-    qmask_ref, vlane_ref, llane_ref,
+    qmask_ref, vlane_ref, llane_ref, smat_ref,
     bp_ref, best_ref,
     vring_ref, dring_ref, c1v_ref, c1j_ref, c2v_ref, c2j_ref,
+    sq_ref, pq_ref,
     *, match: float, mismatch: float, k_ring: int, m_len: int,
-    n_steps: int, tile: int, aspace: bool,
+    n_steps: int, tile: int, aspace: bool, matrix: bool,
 ):
     from jax.experimental import pallas as pl
 
@@ -127,6 +128,22 @@ def _graph_kernel(
         c1j_ref[...] = jnp.zeros((B, M), dtype=jnp.float32)
         c2v_ref[...] = jnp.full((B, M), BIG, dtype=jnp.float32)
         c2j_ref[...] = jnp.zeros((B, M), dtype=jnp.float32)
+        if matrix:
+            # substitution-matrix scheme (scoring_scheme_matrix):
+            # precompute per-query-base partial sums
+            # Sq[l, b, i] = sum_r S[b, l, r] * bit_r(q[b, i])
+            # and the query-letter counts, both VMEM-resident
+            qmi = qmask_ref[...]
+            pq = jnp.zeros((B, M), dtype=jnp.float32)
+            for r in range(4):
+                pq = pq + ((qmi >> r) & 1).astype(jnp.float32)
+            pq_ref[...] = pq
+            for l in range(4):
+                acc = jnp.zeros((B, M), dtype=jnp.float32)
+                for r in range(4):
+                    bit = ((qmi >> r) & 1).astype(jnp.float32)
+                    acc = acc + smat_ref[4 * l + r][:, None] * bit
+                sq_ref[l] = acc
 
     qm = qmask_ref[...]                     # (B, M) int32
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
@@ -157,10 +174,23 @@ def _graph_kernel(
             end_b = (flags & 2) != 0
             valid_b = (flags & 4) != 0
 
-            compat = (nmask & qm & 0xF) != 0
-            sub = jnp.where(
-                compat, jnp.float32(match), jnp.float32(mismatch)
-            ) * subw
+            if matrix:
+                # mean of subst[l, r] over the IUPAC letter pairs,
+                # times the column weight (subw = wcol here; node
+                # weights are NOT applied in the matrix scheme)
+                numer = jnp.zeros((B, M), dtype=jnp.float32)
+                pn = jnp.zeros((B, 1), dtype=jnp.float32)
+                for l in range(4):
+                    bit = ((nmask >> l) & 1).astype(jnp.float32)
+                    numer = numer + bit * sq_ref[l]
+                    pn = pn + bit
+                denom = jnp.maximum(pn * pq_ref[...], 1.0)
+                sub = (numer / denom) * subw
+            else:
+                compat = (nmask & qm & 0xF) != 0
+                sub = jnp.where(
+                    compat, jnp.float32(match), jnp.float32(mismatch)
+                ) * subw
 
             # masked ring probe over predecessor distances, all rows
             # static.  Ascending d with <= keeps the largest distance
@@ -483,6 +513,7 @@ def graph_dp_pallas_packed(
     qlen,         # (B,) int32
     col_weights,  # (B, W) f32
     max_insert=None,  # (B, N) int32 insertion budget (forbid mode)
+    subst=None,   # (B, 4, 4) f32 substitution matrix (matrix scheme)
     *,
     n_nodes: int,
     m_len: int,
@@ -520,9 +551,19 @@ def graph_dp_pallas_packed(
     wins = jnp.take_along_axis(
         col_weights, jnp.minimum(pos + 1, W - 1), axis=1
     )
-    subw = wcol * weight
-    dgo, dge = go * wcol, ge * wcol
-    gio, gie = go * wins, ge * wins
+    matrix = subst is not None
+    if matrix:
+        # scoring_scheme_matrix: node weights not applied; all gap
+        # costs use the node's own column weight (poa_dp_subst)
+        subw = wcol
+        dgo, dge = go * wcol, ge * wcol
+        gio, gie = go * wcol, ge * wcol
+        smat = jnp.asarray(subst).reshape(B, 16).T  # (16, B)
+    else:
+        subw = wcol * weight
+        dgo, dge = go * wcol, ge * wcol
+        gio, gie = go * wins, ge * wins
+        smat = jnp.zeros((16, B), jnp.float32)
 
     def per_step(x, dt):
         return x.T.reshape(N, 1, B).astype(dt)
@@ -542,13 +583,15 @@ def graph_dp_pallas_packed(
         _graph_kernel,
         match=params.match, mismatch=params.mismatch,
         k_ring=K, m_len=M, n_steps=N, tile=T, aspace=aspace,
+        matrix=matrix,
     )
     step_spec = pl.BlockSpec((T, 1, B), lambda i: (i, 0, 0))
     res_spec = pl.BlockSpec((B, M), lambda i: (0, 0))
+    smat_spec = pl.BlockSpec((16, B), lambda i: (0, 0))
     bp, best = pl.pallas_call(
         kernel,
         grid=(N // T,),
-        in_specs=[step_spec] * 9 + [res_spec] * 3,
+        in_specs=[step_spec] * 9 + [res_spec] * 3 + [smat_spec],
         out_specs=[
             pl.BlockSpec((T, B, M), lambda i: (i, 0, 0)),
             pl.BlockSpec((B, 128), lambda i: (0, 0)),
@@ -564,6 +607,8 @@ def graph_dp_pallas_packed(
             pltpu.VMEM((B, M), jnp.float32),
             pltpu.VMEM((B, M), jnp.float32),
             pltpu.VMEM((B, M), jnp.float32),
+            pltpu.VMEM((4, B, M), jnp.float32),
+            pltpu.VMEM((B, M), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -578,7 +623,7 @@ def graph_dp_pallas_packed(
         per_step(gio, jnp.float32), per_step(gie, jnp.float32),
         per_step(predbits, jnp.int32), per_step(flags, jnp.int32),
         per_step(budget, jnp.int32),
-        qmask.astype(jnp.int32), vlane, llane,
+        qmask.astype(jnp.int32), vlane, llane, smat,
     )
 
     v1, j1 = best[:, 0], best[:, 1]
