@@ -319,7 +319,12 @@ def align_dispatch(
         for it, c in zip(todo, counts):
             it[6] = int(c)
 
-    # group into shape buckets
+    # group into shape buckets.  The graph engine uses much coarser
+    # buckets: every distinct (N, M) pair is a separate Pallas kernel
+    # compile, and compiles cost minutes on tunnelled backends
+    if engine == "graph":
+        node_bucket = max(node_bucket, 2048)
+        query_bucket = max(query_bucket, 512)
     buckets: dict[tuple[int, int], list] = {}
     for item in todo:
         n_shape = item[6]

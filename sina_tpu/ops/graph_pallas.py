@@ -669,13 +669,12 @@ def pick_tile(n_nodes: int, b: int, m_len: int, k_ring: int,
 
 
 def pick_k_ring(maxd: int) -> int:
-    """Smallest supported ring depth covering max pred distance
-    (powers of two only: ring slots must be static under the
-    K-unrolled node loop)."""
-    for k in (8, 16, 32):
-        if maxd < k:
-            return k
-    return 0
+    """Ring depth covering the max pred distance.  Fixed at 32 for
+    every graph that fits: distinct K values mean distinct kernel
+    shapes, and on the tunnelled backend each extra compile costs
+    minutes — far more than the extra masked probes (the probe loop
+    is ~40% of kernel time at K=32 vs K=8, amortised instantly)."""
+    return 32 if maxd < 32 else 0
 
 
 def pick_chunk(m_len: int, k_ring: int, budget_mb: float = 28.0) -> int:

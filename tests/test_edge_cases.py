@@ -109,3 +109,38 @@ def test_query_longer_than_reference_span(env, tmp_path):
     got = list(read_fasta(out))[0]
     assert len(got.get_bases()) == len(parent.get_bases()) + 40
     assert got.get_attr  # attrs present
+
+
+def test_silva_width_alignment():
+    """Long-context axis (SURVEY §5): alignment at the real SILVA SSU
+    width (50k columns) must work without O(width) device blowup —
+    sequences store only occupied positions (cseq semantics) and the
+    DP runs over family profile columns, not raw width."""
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.align import AlignerConfig, align_sequence
+    from sina_tpu.comparator import (
+        Comparator, IUPAC_EXACT, COVER_QUERY,
+    )
+
+    db = testing.make_reference_large(
+        60, n_core=300, width=50_000, seed=17
+    )
+    assert db.width == 50_000
+    q0 = db.sequences[7]
+    q = testing.unaligned_copy(q0)
+    fam = [(1.0, s) for s in db.sequences[:40]]
+    for engine in ("profile", "graph"):
+        out = align_sequence(
+            q.copy(), [
+                (sc, s) for sc, s in fam if s.name != q0.name
+            ],
+            AlignerConfig(engine=engine, realign=True),
+        )
+        assert out is not None
+        assert out.width == 50_000
+        sps = Comparator(IUPAC_EXACT, "none", COVER_QUERY, False)(
+            q0, out
+        )
+        assert sps > 0.9, (engine, sps)
