@@ -13,6 +13,16 @@ from sina_tpu.ops.graph_pallas import (
 )
 
 
+def _test_ring(maxd: int) -> int:
+    """Minimal power-of-two ring for interpret-mode tests (the
+    production pick_k_ring pins K=32 to avoid kernel-shape churn,
+    which makes interpret traces needlessly huge on CPU)."""
+    k = 8
+    while k <= maxd:
+        k *= 2
+    return k
+
+
 def test_pallas_matches_xla_core():
     db = testing.make_reference(n_seqs=40, n_core=200, width=350, seed=8)
     n_queries = 4
@@ -46,7 +56,7 @@ def test_pallas_matches_xla_core():
     preds = np.stack([g.preds for g in graphs])
     dists = np.arange(npad)[None, :, None] - preds
     maxd = int(dists[preds >= 0].max())
-    k = pick_k_ring(maxd)
+    k = _test_ring(maxd)
     assert k > 0
     assert pick_chunk(mpad, k) >= 8
 
@@ -84,10 +94,14 @@ def test_pallas_matches_xla_core():
     )  # raw score, bit-exact
 
 
-def test_chunked_dispatch_helper():
+def test_chunked_dispatch_helper(monkeypatch):
     """align._graph_dp_pallas_chunked pads partial chunks by edge
     replication; results must match the XLA core for the real rows."""
     from sina_tpu.align import _graph_dp_pallas_chunked
+    from sina_tpu.ops import graph_pallas as _gp
+
+    # minimal ring in interpret mode (production pins K=32)
+    monkeypatch.setattr(_gp, "pick_k_ring", _test_ring)
 
     db = testing.make_reference(n_seqs=40, n_core=200, width=350, seed=9)
     n_queries = 3
@@ -170,7 +184,7 @@ def test_pallas_forbid_matches_xla_core():
     preds = np.stack([g.preds for g in graphs])
     dists = np.arange(npad)[None, :, None] - preds
     maxd = int(dists[preds >= 0].max())
-    k = pick_k_ring(maxd)
+    k = _test_ring(maxd)
     assert k > 0
     max_ins = np.stack(
         [np.clip(g.max_insert, 0, 10**6) for g in graphs]
@@ -239,7 +253,7 @@ def test_pallas_subst_matrix_matches_xla_core():
     preds = np.stack([g.preds for g in graphs])
     dists = np.arange(npad)[None, :, None] - preds
     maxd = int(dists[preds >= 0].max())
-    k = pick_k_ring(maxd)
+    k = _test_ring(maxd)
     subst = np.random.RandomState(6).uniform(
         -2, 2, size=(n_queries, 4, 4)
     ).astype(np.float32)
