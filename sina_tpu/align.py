@@ -279,26 +279,16 @@ def align_dispatch(
         _t = get_timer("Aligner")
         if engine == "graph":
             # identical families (shared Sequence objects from the
-            # famfinder) build one graph, like the profile dedup
+            # famfinder) build one graph, like the profile dedup;
+            # graphs for the whole batch build in one parallel native
+            # pass after this loop (build_graphs_batch)
             gkey = tuple(id(r) for r in refs)
             template = graph_cache.get(gkey)
-            if template is None:
-                with _t.section("build graph"):
-                    template = build_graph(refs, cfg.fs_weight)
-                graph_cache[gkey] = template
-            if cfg.debug_graph:
-                from .ops.graph import graph_to_dot
-
-                # reference naming: mseq_<name>.dot (align.cpp:511-513)
-                fname = f"mseq_{query.name or idx}.dot"
-                with open(fname, "w") as fh:
-                    fh.write(graph_to_dot(template))
-                logger.info("wrote %s", fname)
-            cw = np.ones(template.width + 2, dtype=np.float32)
+            cw = np.ones(refs[0].width + 2, dtype=np.float32)
             if col_weights_list[idx] is not None:
                 w = col_weights_list[idx]
                 cw[: len(w)] = w
-            n_shape = template.n_nodes
+            n_shape = template.n_nodes if template is not None else -1
         else:
             # profile construction happens batched per bucket; only
             # the occupied-column count is needed for bucketing and
@@ -312,6 +302,36 @@ def align_dispatch(
         todo.append(
             [idx, q, template, cw, refs, log, n_shape, top_score]
         )
+
+    if todo and engine == "graph":
+        from .ops.graph import build_graphs_batch
+
+        pending = [it for it in todo if it[2] is None]
+        if pending:
+            ukeys: dict[tuple, int] = {}
+            ufams: list[list[Sequence]] = []
+            for it in pending:
+                kkey = tuple(id(r) for r in it[4])
+                if kkey not in ukeys:
+                    ukeys[kkey] = len(ufams)
+                    ufams.append(it[4])
+            with get_timer("Aligner").section("build graph"):
+                built = build_graphs_batch(ufams, cfg.fs_weight)
+            for kkey, ui in ukeys.items():
+                graph_cache[kkey] = built[ui]
+            for it in pending:
+                it[2] = graph_cache[tuple(id(r) for r in it[4])]
+                it[6] = it[2].n_nodes
+        if cfg.debug_graph:
+            from .ops.graph import graph_to_dot
+
+            for it in todo:
+                # reference naming: mseq_<name>.dot (align.cpp:511-513)
+                name = queries[it[0]].name or it[0]
+                fname = f"mseq_{name}.dot"
+                with open(fname, "w") as fh:
+                    fh.write(graph_to_dot(it[2]))
+                logger.info("wrote %s", fname)
 
     if todo and engine != "graph":
         with get_timer("Aligner").section("count cols"):

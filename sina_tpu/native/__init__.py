@@ -118,6 +118,25 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int64),
         ctypes.c_long,
     ]
+    lib.sina_build_graphs.restype = ctypes.c_long
+    lib.sina_build_graphs.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+    ]
     lib.sina_pack_graph.restype = ctypes.c_long
     lib.sina_pack_graph.argtypes = [
         np.ctypeslib.ndpointer(np.int32),

@@ -478,6 +478,137 @@ long sina_fill_packed(
     return 0;
 }
 
+// Batched POA graph construction (mseq semantics, the host side of
+// ops/graph.build_graph): one node per distinct (column, base-mask)
+// pair, counts for the weight blend, edges by base succession with
+// per-dst predecessor slots in ascending src order, start/end flags
+// and the insertion budget.  Parallel over families.
+//
+// Family f's bases: all_pos/all_mask[member_starts[i] : +base_counts
+// [i]] for its fam_sizes[f] members (flat base store).  Outputs are
+// flat per-family regions at node_offsets[f] (caller precomputes
+// offsets with capacity = family total bases): pos i32, mask u8,
+// count i32, preds (cap, P) i32 (-1 pad), flags u8 (bit0 start, bit1
+// end), max_insert i32.  n_nodes_out[f] = real node count.
+long sina_build_graphs(
+    const unsigned int* all_pos, const unsigned char* all_mask,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes, long n_fams,
+    const long long* node_offsets,   // (n_fams+1,) capacity offsets
+    long P,
+    int* out_pos, unsigned char* out_mask, int* out_count,
+    int* out_preds, unsigned char* out_flags, int* out_maxins,
+    long long* n_nodes_out, long n_threads) {
+    std::vector<long long> fam_first((size_t)n_fams + 1, 0);
+    for (long f = 0, k = 0; f < n_fams; ++f) {
+        fam_first[(size_t)f] = k;
+        k += fam_sizes[f];
+        fam_first[(size_t)f + 1] = k;
+    }
+    std::atomic<long> next(0);
+    std::atomic<long> err(0);
+    auto worker = [&]() {
+        std::vector<long long> keys;       // pos<<8 | mask
+        std::vector<int> node_of;          // per base -> node id
+        std::vector<long long> ekeys;      // dst*N + src
+        for (;;) {
+            long f = next.fetch_add(1);
+            if (f >= n_fams) break;
+            keys.clear();
+            long long m0 = fam_first[(size_t)f];
+            long long m1 = fam_first[(size_t)f + 1];
+            for (long long m = m0; m < m1; ++m) {
+                long long lo = member_starts[m];
+                long long hi = lo + base_counts[m];
+                for (long long i = lo; i < hi; ++i)
+                    keys.push_back(
+                        ((long long)all_pos[i] << 8)
+                        | (all_mask[i] & 0xFF));
+            }
+            // unique nodes (sorted by (pos, mask) = topological)
+            std::vector<long long> uniq(keys);
+            std::sort(uniq.begin(), uniq.end());
+            uniq.erase(std::unique(uniq.begin(), uniq.end()),
+                       uniq.end());
+            long long n = (long long)uniq.size();
+            long long off = node_offsets[f];
+            if (off + n > node_offsets[f + 1]) {
+                err.store(1);
+                return;
+            }
+            node_of.assign(keys.size(), 0);
+            std::vector<int> cnt((size_t)n, 0);
+            for (size_t i = 0; i < keys.size(); ++i) {
+                long long id = (long long)(
+                    std::lower_bound(uniq.begin(), uniq.end(),
+                                     keys[i]) - uniq.begin());
+                node_of[i] = (int)id;
+                ++cnt[(size_t)id];
+            }
+            // edges: consecutive bases within each member
+            ekeys.clear();
+            {
+                size_t base = 0;
+                for (long long m = m0; m < m1; ++m) {
+                    long long len = base_counts[m];
+                    for (long long i = 1; i < len; ++i) {
+                        long long s = node_of[base + i - 1];
+                        long long d = node_of[base + i];
+                        ekeys.push_back(d * n + s);
+                    }
+                    base += (size_t)len;
+                }
+            }
+            std::sort(ekeys.begin(), ekeys.end());
+            ekeys.erase(
+                std::unique(ekeys.begin(), ekeys.end()),
+                ekeys.end());
+            // outputs
+            std::vector<unsigned char> has_succ((size_t)n, 0);
+            std::vector<int> minnext((size_t)n, INT32_MAX);
+            std::vector<int> npred((size_t)n, 0);
+            for (long long j = 0; j < n; ++j) {
+                out_pos[off + j] = (int)(uniq[(size_t)j] >> 8);
+                out_mask[off + j] =
+                    (unsigned char)(uniq[(size_t)j] & 0xFF);
+                out_count[off + j] = cnt[(size_t)j];
+                for (long p = 0; p < P; ++p)
+                    out_preds[(off + j) * P + p] = -1;
+            }
+            for (size_t e = 0; e < ekeys.size(); ++e) {
+                long long d = ekeys[e] / n;
+                long long s = ekeys[e] % n;
+                int& np = npred[(size_t)d];
+                if (np < P)
+                    out_preds[(off + d) * P + np] = (int)s;
+                ++np;
+                has_succ[(size_t)s] = 1;
+                int dpos = (int)(uniq[(size_t)d] >> 8);
+                if (dpos < minnext[(size_t)s])
+                    minnext[(size_t)s] = dpos;
+            }
+            for (long long j = 0; j < n; ++j) {
+                int pos_j = (int)(uniq[(size_t)j] >> 8);
+                out_flags[off + j] = (unsigned char)(
+                    (npred[(size_t)j] == 0 ? 1 : 0)
+                    | (has_succ[(size_t)j] ? 0 : 2));
+                out_maxins[off + j] =
+                    has_succ[(size_t)j]
+                        ? minnext[(size_t)j] - pos_j - 1
+                        : 1000000;
+            }
+            n_nodes_out[f] = n;
+        }
+    };
+    long nt = n_threads > 0 ? n_threads : 1;
+    if (nt > n_fams) nt = n_fams > 0 ? n_fams : 1;
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    return err.load() ? -1 : 0;
+}
+
 // Graph-tensor packing for the Pallas graph kernel (the host side of
 // ops/graph_pallas.pack_graph_host): predecessor lists (B, N, P)
 // collapse to per-node distance bitmasks and the boolean planes fold

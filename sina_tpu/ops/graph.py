@@ -54,9 +54,11 @@ def build_graph(
     num_seqs = len(family)
 
     # node key: (column, mask-char) -> node id; nodes created in column
-    # order so ids are already topological (columns ascend along edges)
+    # order so ids are already topological (columns ascend along edges).
+    # The lowercase bit is stripped: case variants merge into one node
+    # (the DP's compatibility test is case-free anyway)
     all_pos = np.concatenate([s.positions for s in family])
-    all_mask = np.concatenate([s.masks for s in family])
+    all_mask = np.concatenate([s.masks for s in family]) & 0xF
     # np.unique over packed key gives nodes sorted by (pos, mask)
     key = all_pos.astype(np.int64) << 8 | all_mask.astype(np.int64)
     uniq, inverse, counts = np.unique(
@@ -121,6 +123,86 @@ def build_graph(
     return LinearGraph(
         pos, mask, weight, preds, is_start, is_end, max_insert, width
     )
+
+
+def build_graphs_batch(
+    families: list[list[Sequence]], fs_weight: float = 1.0
+) -> list[LinearGraph]:
+    """Batched build_graph over many families: one parallel native
+    pass over the shared flat base store (ReferenceDb.ensure_flat
+    stamps) — the graph-engine analogue of build_profiles_batch.
+    Falls back to per-family python builds."""
+    from .. import native
+
+    seqs = [s for f in families for s in f]
+    refs = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = refs[0] if refs else None
+    ok = r0 is not None and all(
+        r is not None and r[0] is r0[0] and r[4] is s.positions
+        for r, s in zip(refs, seqs)
+    )
+    if not ok:
+        return [build_graph(f, fs_weight) for f in families]
+    n_fams = len(families)
+    starts = np.fromiter((r[2] for r in refs), np.int64, len(refs))
+    lens = np.fromiter(
+        (r[3] - r[2] for r in refs), np.int64, len(refs)
+    )
+    fam_sizes = np.array([len(f) for f in families], np.int64)
+    # per-family node capacity = its total bases
+    caps = np.zeros(n_fams, np.int64)
+    k = 0
+    for f, sz in enumerate(fam_sizes):
+        caps[f] = lens[k : k + sz].sum()
+        k += sz
+    node_offsets = np.zeros(n_fams + 1, np.int64)
+    np.cumsum(caps, out=node_offsets[1:])
+    total = int(node_offsets[-1])
+    lib = native.get_lib()
+    if lib is None or total == 0:
+        return [build_graph(f, fs_weight) for f in families]
+    out_pos = np.empty(total, np.int32)
+    out_mask = np.empty(total, np.uint8)
+    out_count = np.empty(total, np.int32)
+    out_preds = np.empty((total, MAX_PREDS), np.int32)
+    out_flags = np.empty(total, np.uint8)
+    out_maxins = np.empty(total, np.int32)
+    n_nodes = np.zeros(n_fams, np.int64)
+    import ctypes
+
+    rc = lib.sina_build_graphs(
+        np.ascontiguousarray(r0[0], np.uint32),
+        np.ascontiguousarray(r0[1], np.uint8),
+        starts, lens, fam_sizes, n_fams,
+        node_offsets, MAX_PREDS,
+        out_pos, out_mask, out_count, out_preds, out_flags,
+        out_maxins, n_nodes, native._n_threads(),
+    )
+    if rc != 0:
+        return [build_graph(f, fs_weight) for f in families]
+    out = []
+    for f in range(n_fams):
+        lo = int(node_offsets[f])
+        n = int(n_nodes[f])
+        counts = out_count[lo : lo + n].astype(np.float32)
+        weight = (
+            1.0 / (fs_weight + 1.0)
+            + fs_weight * counts / len(families[f])
+        ).astype(np.float32)
+        flags = out_flags[lo : lo + n]
+        out.append(
+            LinearGraph(
+                out_pos[lo : lo + n],
+                out_mask[lo : lo + n],
+                weight,
+                out_preds[lo : lo + n],
+                (flags & 1) != 0,
+                (flags & 2) != 0,
+                out_maxins[lo : lo + n],
+                families[f][0].width,
+            )
+        )
+    return out
 
 
 def graph_to_dot(g: LinearGraph, name: str = "reference") -> str:
