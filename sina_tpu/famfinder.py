@@ -19,7 +19,7 @@ from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_QUERY
 from .timing import get_timer
 from .ops.kmer import query_kmers_padded
 from .ops.kmer_index import KmerIndex
-from .ops.kmer_kernel import kmer_scores, top_k_scores
+from .ops.kmer_kernel import kmer_scores
 from .refdb import ReferenceDb
 from .sequence import Sequence
 

@@ -168,7 +168,6 @@ def build_graphs_batch(
     out_flags = np.empty(total, np.uint8)
     out_maxins = np.empty(total, np.int32)
     n_nodes = np.zeros(n_fams, np.int64)
-    import ctypes
 
     rc = lib.sina_build_graphs(
         np.ascontiguousarray(r0[0], np.uint32),

@@ -25,7 +25,6 @@ from .align_kernel import CODE_DEL, CODE_MATCH, CODE_INS
 
 BIG = 1e6  # python float: jnp array constants cannot be captured by kernels
 
-_LOG2 = 11  # supports M up to 2048; adjusted dynamically
 
 
 def _shift_right(x, n: int, fill):
