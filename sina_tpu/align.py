@@ -536,10 +536,27 @@ def _dispatch_graph_bucket(
         and jax.default_backend() in ("tpu", "axon")
     )
     if use_pallas:
-        out = _graph_dp_pallas_chunked(
-            stacks, npad, mpad, maxd, params,
-            max_insert=budget, subst=subst,
-        )
+        try:
+            out = _graph_dp_pallas_chunked(
+                stacks, npad, mpad, maxd, params,
+                max_insert=budget, subst=subst,
+            )
+        except Exception as exc:
+            # a broken graph kernel costs ~7x throughput — never fail
+            # silently (SINA_TPU_STRICT_PALLAS=1 makes it fatal, same
+            # policy as ops/kmer_kernel)
+            import os
+
+            if os.environ.get("SINA_TPU_STRICT_PALLAS"):
+                raise
+            logger.warning(
+                "Pallas graph kernel failed, falling back to the XLA "
+                "scan (~7x slower); set SINA_TPU_STRICT_PALLAS=1 to "
+                "make this fatal: %r", exc,
+            )
+            use_pallas = False
+    if use_pallas:
+        pass
     elif subst is not None:
         out = ak.poa_dp_subst_batch(
             jnp.asarray(stacks[0]),
