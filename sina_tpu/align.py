@@ -339,20 +339,29 @@ def align_dispatch(
         for it, c in zip(todo, counts):
             it[6] = int(c)
 
-    # group into shape buckets.  The graph engine uses much coarser
-    # buckets: every distinct (N, M) pair is a separate Pallas kernel
-    # compile, and compiles cost minutes on tunnelled backends
-    if engine == "graph":
-        node_bucket = max(node_bucket, 2048)
-        query_bucket = max(query_bucket, 512)
+    # group into shape buckets.  The graph engine snaps both axes to
+    # powers of two (min 2048 nodes / 512 query): every distinct
+    # (N, M) pair is a separate Pallas kernel compile, compiles cost
+    # minutes on tunnelled backends, and a shape compiled mid-run
+    # once dropped a measured 56 seq/s to 12 — padding waste is far
+    # cheaper than shape churn
+    def _pow2(v: int, lo: int) -> int:
+        return max(lo, 1 << max(int(v) - 1, 1).bit_length())
+
     buckets: dict[tuple[int, int], list] = {}
     for item in todo:
         n_shape = item[6]
         q = item[1]
-        key = (
-            _bucket(n_shape, node_bucket),
-            _bucket(len(q.masks), query_bucket),
-        )
+        if engine == "graph":
+            key = (
+                _pow2(n_shape, 2048),
+                _pow2(len(q.masks), 512),
+            )
+        else:
+            key = (
+                _bucket(n_shape, node_bucket),
+                _bucket(len(q.masks), query_bucket),
+            )
         buckets.setdefault(key, []).append(item)
 
     params = cfg.dp_params()
