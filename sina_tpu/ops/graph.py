@@ -128,10 +128,18 @@ def build_graph(
 def build_graphs_batch(
     families: list[list[Sequence]], fs_weight: float = 1.0
 ) -> list[LinearGraph]:
-    """Batched build_graph over many families: one parallel native
-    pass over the shared flat base store (ReferenceDb.ensure_flat
-    stamps) — the graph-engine analogue of build_profiles_batch.
-    Falls back to per-family python builds."""
+    """Batched build_graph over many families.
+
+    The numpy per-family path is the default: the native batch
+    builder allocates capacity-sized output arrays (~230MB per
+    128-family batch) and this host's memory is slow enough that
+    page-faulting them costs 15-20s — 30x the actual build.  The
+    native path (sina_build_graphs, parity-tested) stays available
+    via SINA_TPU_NATIVE_GRAPHS=1 for hosts with sane memory."""
+    import os
+
+    if not os.environ.get("SINA_TPU_NATIVE_GRAPHS"):
+        return [build_graph(f, fs_weight) for f in families]
     from .. import native
 
     seqs = [s for f in families for s in f]

@@ -226,3 +226,26 @@ def test_native_pack_graph_matches_numpy():
     )
     np.testing.assert_array_equal(predbits, want_bits)
     np.testing.assert_array_equal(flags, want_flags)
+
+
+def test_native_build_graphs_matches_python(monkeypatch):
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.ops.graph import build_graph, build_graphs_batch
+
+    monkeypatch.setenv("SINA_TPU_NATIVE_GRAPHS", "1")
+    db = testing.make_reference(n_seqs=40, n_core=250, width=400,
+                                seed=41)
+    db.ensure_flat()
+    fams = [db.sequences[i : i + 8] for i in range(0, 32, 8)]
+    nat = build_graphs_batch(fams)
+    for f, g in zip(fams, nat):
+        ref = build_graph(f)
+        np.testing.assert_array_equal(ref.pos, g.pos)
+        np.testing.assert_array_equal(ref.mask, g.mask)
+        np.testing.assert_allclose(ref.weight, g.weight, rtol=1e-6)
+        np.testing.assert_array_equal(ref.preds, g.preds)
+        np.testing.assert_array_equal(ref.is_start, g.is_start)
+        np.testing.assert_array_equal(ref.is_end, g.is_end)
+        np.testing.assert_array_equal(ref.max_insert, g.max_insert)
