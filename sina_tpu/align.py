@@ -353,9 +353,14 @@ def align_dispatch(
         n_shape = item[6]
         q = item[1]
         if engine == "graph":
+            # nodes: powers of two (the axis that churned); query
+            # length: 512-steps up to 2048 (full-length rRNA lands in
+            # at most two classes, both typically compiled during the
+            # warmup batch), powers of two beyond
+            m = len(q.masks)
             key = (
                 _pow2(n_shape, 2048),
-                _pow2(len(q.masks), 512),
+                _bucket(m, 512) if m <= 2048 else _pow2(m, 2048),
             )
         else:
             key = (
