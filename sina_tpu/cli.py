@@ -265,14 +265,18 @@ def config_from_args(args) -> PipelineConfig:
         outputs.append(("fasta", "-"))
     for i, o in enumerate(outs):
         t = outtypes[i] if i < len(outtypes) else "auto"
+        # "none" is a null sink, not a file (sina.cpp:125-126 maps
+        # TYPE_NONE to a no-op writer); /dev/null likewise
+        if str(o).lower() == "none" or str(o) == "/dev/null":
+            continue
         t = detect_type(o, t)
+        if t == "none":
+            continue
         if t == "arb":
             raise SystemExit(
                 "sina-tpu: ARB container output is not supported; "
                 "use fasta or csv"
             )
-        if str(o) == "/dev/null":
-            continue
         outputs.append((t, o))
 
     intype = detect_type(args.in_path, args.intype)
@@ -293,6 +297,37 @@ def config_from_args(args) -> PipelineConfig:
     if args.fs_engine == "pt-server" or args.search_engine == "pt-server":
         logging.getLogger("sina").warning(
             "pt-server engine not available; using internal engine"
+        )
+    # accepted-for-compatibility flags the internal engine cannot
+    # honour (the reference's pt-server engine reads them; its own
+    # internal engine ignores them too, kmer_search.cpp:330-360) —
+    # warn loudly instead of silently scoring differently
+    _inert = []
+    if args.fs_kmer_mm > 0:
+        _inert.append(
+            ("--fs-kmer-mm", "mismatching k-mers are a pt-server "
+             "feature; the internal engine matches exactly")
+        )
+    if args.fs_kmer_norel:
+        _inert.append(
+            ("--fs-kmer-norel", "the internal engine always scores "
+             "absolute k-mer counts (norel is already its behavior "
+             "for ranking; relative scoring is not implemented)")
+        )
+    if args.search_kmer_mm > 0:
+        _inert.append(
+            ("--search-kmer-mm", "mismatching k-mers are a pt-server "
+             "feature; the internal engine matches exactly")
+        )
+    if args.search_kmer_norel:
+        _inert.append(
+            ("--search-kmer-norel", "the internal engine always "
+             "scores absolute k-mer counts")
+        )
+    for flag, why in _inert:
+        logging.getLogger("sina").warning(
+            "%s has no effect with the internal engine (%s); "
+            "results may differ from a pt-server run", flag, why,
         )
 
     prealigned = args.prealigned or args.no_align

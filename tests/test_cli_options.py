@@ -59,6 +59,39 @@ def test_devnull_output_skipped():
     assert cfg.outputs == []
 
 
+def test_none_output_is_null_sink(tmp_path, monkeypatch):
+    """-o none maps to the null writer, never a file named "none"
+    (sina.cpp:125-126 TYPE_NONE)."""
+    monkeypatch.chdir(tmp_path)
+    for argv in (
+        ["-i", "x", "-r", "y", "-o", "none"],
+        ["-i", "x", "-r", "y", "-o", "NONE"],
+        ["-i", "x", "-r", "y", "-o", "out.fa", "--outtype", "none"],
+    ):
+        cfg = parse(argv)
+        assert cfg.outputs == []
+    assert not (tmp_path / "none").exists()
+
+
+def test_inert_compat_flags_warn(caplog):
+    """pt-server-only knobs accepted for compatibility must warn
+    loudly that the internal engine ignores them (VERDICT r2 #8)."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="sina"):
+        parse(["-i", "x", "-r", "y",
+               "--fs-kmer-mm", "2", "--fs-kmer-norel",
+               "--search-kmer-mm", "1", "--search-kmer-norel"])
+    text = caplog.text
+    for flag in ("--fs-kmer-mm", "--fs-kmer-norel",
+                 "--search-kmer-mm", "--search-kmer-norel"):
+        assert flag in text, flag
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sina"):
+        parse(["-i", "x", "-r", "y"])
+    assert "no effect" not in caplog.text
+
+
 def test_arb_output_rejected():
     with pytest.raises(SystemExit):
         parse(["-i", "x", "-r", "y", "-o", "out.arb"])

@@ -160,9 +160,10 @@ def test_build_refdb_workflow(tmp_path, capsys):
     assert "ST" in text
 
 
-def test_show_conf_effective_modules(tmp_path, capsys):
+def test_show_conf_effective_modules(tmp_path, capsys, monkeypatch):
     from sina_tpu import testing
 
+    monkeypatch.chdir(tmp_path)  # -o none must create no file
     db = testing.make_reference(n_seqs=20, n_core=150, width=300,
                                 seed=32)
     db.save(tmp_path / "db.sref")
@@ -176,6 +177,7 @@ def test_show_conf_effective_modules(tmp_path, capsys):
     assert "[famfinder]" in err
     assert "fs_max = 5" in err
     assert "[aligner]" in err
+    assert not (tmp_path / "none").exists()
 
 
 def test_terminal_sink_interleaves_bars(capsys):
