@@ -418,6 +418,27 @@ class FamFinder:
 
     # -- full stage ---------------------------------------------------
 
+    @staticmethod
+    def _dedupe_masks(
+        mask_list: list[np.ndarray],
+    ) -> tuple[list[np.ndarray], np.ndarray]:
+        """Collapse base-identical queries to one scoring row each
+        (the reference keeps a FIFO result cache keyed on query
+        bases, kmer_search.cpp:105,378 — dereplicated amplicon reads
+        repeat verbatim).  Returns (unique mask list, inverse map
+        batch-row -> unique-row)."""
+        seen: dict[bytes, int] = {}
+        inv = np.empty(len(mask_list), dtype=np.int64)
+        uniq: list[np.ndarray] = []
+        for i, m in enumerate(mask_list):
+            key = m.tobytes()
+            j = seen.get(key)
+            if j is None:
+                j = seen[key] = len(uniq)
+                uniq.append(m)
+            inv[i] = j
+        return uniq, inv
+
     def submit_batch(self, queries: list[Sequence]):
         """Dispatch the device scoring for a batch WITHOUT fetching,
         so callers can overlap it with other device/host work; pass
@@ -427,15 +448,23 @@ class FamFinder:
             self._mesh is not None
         ):
             return None  # turn/sharded paths fetch eagerly
+        uniq, inv = self._dedupe_masks([q.masks for q in queries])
+        if len(uniq) < len(queries):
+            # pad the unique rows to a power-of-two bucket so dedupe
+            # never mints a new device shape (compiles cost minutes
+            # on tunneled backends)
+            bucket = 16
+            while bucket < len(uniq):
+                bucket *= 2
+            bucket = min(bucket, len(queries))
+            uniq = uniq + [uniq[0][:0]] * (bucket - len(uniq))
         kmers, _ = query_kmers_padded(
-            [q.masks for q in queries],
-            self.index.k,
-            fast=self.index.fast,
+            uniq, self.index.k, fast=self.index.fast,
         )
         k0 = min(
             max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
         )
-        return _score_topk_compiled(k0)(self._matrix(), kmers), k0
+        return _score_topk_compiled(k0)(self._matrix(), kmers), k0, inv
 
     def process_batch(
         self, queries: list[Sequence], handle=None
@@ -448,7 +477,7 @@ class FamFinder:
         if B == 0:
             return []
         if handle is not None:
-            packed, k0 = handle
+            packed, k0, inv = handle
             with get_timer("Kmer Search").section("fetch topk"):
                 packed = np.asarray(packed)
             vals, ids = packed[:, :k0], packed[:, k0:]
@@ -456,24 +485,31 @@ class FamFinder:
             vals = np.where(pad, -1, vals)
             ids = np.where(pad, 0, ids)
             out = []
+            ranked_cache: dict[int, list] = {}
             for b, q in enumerate(queries):
                 q.set_attr("turn_slv", "turn-check disabled")
-                ranked = [
-                    (float(v), int(i))
-                    for v, i in zip(vals[b], ids[b])
-                    if v >= 0
-                ]
+                u = int(inv[b])
+                ranked = ranked_cache.get(u)
+                if ranked is None:
+                    ranked = ranked_cache[u] = [
+                        (float(v), int(i))
+                        for v, i in zip(vals[u], ids[u])
+                        if v >= 0
+                    ]
                 out.append(
-                    self._finish(q, ranked=ranked,
+                    self._finish(q, ranked=list(ranked),
                                  allow_refetch=False)
                 )
             self._finish_escalated(queries, out)
             return out
+        inv = None
         if cfg.turn == TURN_NONE:
             for q in queries:
                 q.set_attr("turn_slv", "turn-check disabled")
             variants_per = 1
-            mask_list = [q.masks for q in queries]
+            mask_list, inv = self._dedupe_masks(
+                [q.masks for q in queries]
+            )
         else:
             all4 = cfg.turn == TURN_ALL
             variants_per = 4 if all4 else 2
@@ -494,7 +530,7 @@ class FamFinder:
         out: list[FamilyResult | None] = [None] * B
         reoriented: list[tuple[int, Sequence]] = []
         for b, q in enumerate(queries):
-            row = b * variants_per
+            row = int(inv[b]) if inv is not None else b * variants_per
             if cfg.turn != TURN_NONE:
                 tops = vals[row : row + variants_per, 0]
                 order = (
@@ -560,14 +596,16 @@ class FamFinder:
             max(4 * self.cfg.fs_max + 16, 256) * 10, n
         )
         while todo:
-            vals, ids = self.score_topk(
-                [queries[b].masks for b in todo], k
+            uniq, einv = self._dedupe_masks(
+                [queries[b].masks for b in todo]
             )
+            vals, ids = self.score_topk(uniq, k)
             still: list[int] = []
             for row, b in enumerate(todo):
+                u = int(einv[row])
                 ranked = [
                     (float(v), int(i))
-                    for v, i in zip(vals[row], ids[row])
+                    for v, i in zip(vals[u], ids[u])
                     if v >= 0
                 ]
                 res = self._finish(

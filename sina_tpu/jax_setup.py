@@ -33,3 +33,38 @@ def setup_jax(cache_dir: str | None = None) -> None:
         )
     except Exception:  # cache is best-effort
         pass
+    _register_compile_listener()
+
+
+_after_warmup = False
+
+
+def mark_warmup_done() -> None:
+    """Called by the pipeline/bench once steady state is reached:
+    any backend compile after this point is a shape-bucket drift
+    (the '1 seq/s because a kernel recompiled mid-run' failure
+    mode) and is logged loudly instead of silently eating minutes."""
+    global _after_warmup
+    _after_warmup = True
+
+
+def _register_compile_listener() -> None:
+    import logging
+
+    import jax.monitoring
+
+    log = logging.getLogger("sina.jax")
+
+    def on_event(name: str, dur: float, **kw) -> None:
+        if not name.endswith("backend_compile_duration"):
+            return
+        if _after_warmup:
+            log.warning(
+                "mid-run XLA compile took %.1fs — a new kernel "
+                "shape bucket was hit after warmup (check batch/"
+                "width bucketing if this repeats)", dur,
+            )
+        elif dur >= 5.0:
+            log.info("XLA compile: %.1fs (warmup)", dur)
+
+    jax.monitoring.register_event_duration_secs_listener(on_event)

@@ -311,6 +311,11 @@ class Pipeline:
         def flush(entry):
             nonlocal n_aligned, seqno
             rows = self._finalize_batch(entry)
+            # first full batch done = warm; later compiles are
+            # shape-bucket drift and get logged (jax_setup)
+            from .jax_setup import mark_warmup_done
+
+            mark_warmup_done()
             with _wt.section("write+stats"):
                 for q, a, rel in rows:
                     seqno += 1

@@ -94,6 +94,40 @@ def test_escalation_ladder_matches_full_scoring():
     assert len(got) == len(want)
 
 
+def test_duplicate_queries_scored_once(db):
+    """Base-identical queries collapse to one scoring row (the
+    reference's FIFO result cache, kmer_search.cpp:105,378); results
+    fan back out per query."""
+    ff = FamFinder(db, FamFinderConfig(fs_req_gaps=0))
+    qs = [unaligned_copy(db.sequences[i % 4]) for i in range(16)]
+    calls = _counting(ff)
+    out = ff.process_batch(qs)
+    assert len(calls["topk"]) == 1
+    assert calls["topk"][0][0] == 4  # 4 distinct reads, not 16
+    assert calls["batch"] == 0
+    for i in (0, 5, 10, 15):
+        assert out[i] is not None and not out[i].failed
+    # identical reads get identical families
+    fams = [[s.name for _, s in out[i].family] for i in (0, 4, 8, 12)]
+    assert fams[0] == fams[1] == fams[2] == fams[3]
+
+
+def test_duplicate_queries_submit_handle(db):
+    """The pipelined submit path scores the deduped rows only, padded
+    to a power-of-two bucket (no per-batch compile shapes)."""
+    ff = FamFinder(db, FamFinderConfig(fs_req_gaps=0))
+    qs = [unaligned_copy(db.sequences[i % 8]) for i in range(64)]
+    handle = ff.submit_batch(qs)
+    packed, k0, inv = handle
+    assert packed.shape[0] == 16  # 8 unique -> 16-row bucket, not 64
+    assert inv.max() == 7
+    out = ff.process_batch(qs, handle=handle)
+    assert all(r is not None and not r.failed for r in out)
+    names0 = [s.name for _, s in out[0].family]
+    names8 = [s.name for _, s in out[8].family]
+    assert names0 == names8
+
+
 def test_pallas_fallback_strict(monkeypatch):
     monkeypatch.setenv("SINA_TPU_STRICT_PALLAS", "1")
     with pytest.raises(ValueError, match="boom"):

@@ -171,3 +171,33 @@ def test_cli_end_to_end(env, tmp_path):
     assert len(seqs) == 12
     header = csv_out.read_text().splitlines()[0]
     assert header.startswith("name")
+
+
+def test_midrun_compile_logged(monkeypatch, caplog):
+    """After warmup, any backend compile (= shape-bucket drift) logs
+    a loud warning (VERDICT r2 #10)."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from sina_tpu import jax_setup
+
+    jax_setup.setup_jax()
+    monkeypatch.setattr(jax_setup, "_after_warmup", False)
+    with caplog.at_level(logging.WARNING, logger="sina.jax"):
+        jax.jit(lambda x: x * 3 + 41)(
+            jnp.ones(17)
+        ).block_until_ready()
+    assert not any(
+        "mid-run" in r.getMessage() for r in caplog.records
+    )
+    monkeypatch.setattr(jax_setup, "_after_warmup", True)
+    with caplog.at_level(logging.WARNING, logger="sina.jax"):
+        jax.jit(lambda x: x * 5 + 43)(
+            jnp.ones(19)
+        ).block_until_ready()
+    assert any(
+        "mid-run XLA compile" in r.getMessage()
+        for r in caplog.records
+    )
