@@ -135,6 +135,22 @@ class FamFinder:
                 self._P = self.index.device_matrix()
         return self._P
 
+    @staticmethod
+    def _pad_rows(kmers: np.ndarray, sink: int) -> np.ndarray:
+        """Pad the batch axis to a compile bucket (the row count is a
+        traced shape dim; distinct values cost a fresh ~1s tunnel
+        compile each — see ops.profile._bucket_rows).  Padded rows
+        point every k-mer at the sink row, scoring 0 everywhere."""
+        from .ops.profile import _bucket_rows
+
+        B = kmers.shape[0]
+        B_pad = _bucket_rows(B)
+        if B_pad == B:
+            return kmers
+        return np.pad(
+            kmers, ((0, B_pad - B), (0, 0)), constant_values=sink
+        )
+
     def score_batch(self, mask_list: list[np.ndarray]) -> np.ndarray:
         """Raw k-mer hit counts (B, n_seqs) for a batch of queries."""
         t = get_timer("Kmer Search")
@@ -143,8 +159,12 @@ class FamFinder:
                 mask_list, self.index.k, fast=self.index.fast
             )
         with t.section("score+fetch"):
+            B = kmers.shape[0]
+            kmers = self._pad_rows(
+                kmers, self._matrix().shape[0] - 1
+            )
             scores = np.asarray(kmer_scores(self._matrix(), kmers))
-            return scores[:, : self.index.n_seqs]
+            return scores[:B, : self.index.n_seqs]
 
     def score_topk(
         self, mask_list: list[np.ndarray], k: int
@@ -189,7 +209,10 @@ class FamFinder:
                 vals = np.where(pad, -1, vals)
                 ids = np.where(pad, 0, ids)
                 return vals, ids
+            B = kmers.shape[0]
+            kmers = self._pad_rows(kmers, P.shape[0] - 1)
             vals, ids = _score_topk_jit(P, kmers, k)
+            vals, ids = vals[:B], ids[:B]
             pad = ids >= self.index.n_seqs
             vals = np.where(pad, -1, vals)
             ids = np.where(pad, 0, ids)
@@ -449,18 +472,12 @@ class FamFinder:
         ):
             return None  # turn/sharded paths fetch eagerly
         uniq, inv = self._dedupe_masks([q.masks for q in queries])
-        if len(uniq) < len(queries):
-            # pad the unique rows to a power-of-two bucket so dedupe
-            # never mints a new device shape (compiles cost minutes
-            # on tunneled backends)
-            bucket = 16
-            while bucket < len(uniq):
-                bucket *= 2
-            bucket = min(bucket, len(queries))
-            uniq = uniq + [uniq[0][:0]] * (bucket - len(uniq))
         kmers, _ = query_kmers_padded(
             uniq, self.index.k, fast=self.index.fast,
         )
+        # row-bucket pad so neither dedupe nor a short batch mints a
+        # new device shape (compiles cost ~1s+ on tunneled backends)
+        kmers = self._pad_rows(kmers, self._matrix().shape[0] - 1)
         k0 = min(
             max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
         )

@@ -48,6 +48,10 @@ def mark_warmup_done() -> None:
     _after_warmup = True
 
 
+def warmed_up() -> bool:
+    return _after_warmup
+
+
 def _register_compile_listener() -> None:
     import logging
 

@@ -311,10 +311,15 @@ class Pipeline:
         def flush(entry):
             nonlocal n_aligned, seqno
             rows = self._finalize_batch(entry)
-            # first full batch done = warm; later compiles are
-            # shape-bucket drift and get logged (jax_setup)
-            from .jax_setup import mark_warmup_done
+            # first full batch done = warm; compile the remaining
+            # row buckets now (a data-dependent bucket split mid-run
+            # would otherwise hit a fresh ~1s tunnel compile), then
+            # flag later compiles as shape-bucket drift (jax_setup)
+            from .jax_setup import mark_warmup_done, warmed_up
+            from .ops.profile import prewarm_row_buckets
 
+            if not warmed_up():
+                prewarm_row_buckets(cfg.batch_size)
             mark_warmup_done()
             with _wt.section("write+stats"):
                 for q, a, rel in rows:
