@@ -33,7 +33,69 @@ def setup_jax(cache_dir: str | None = None) -> None:
         )
     except Exception:  # cache is best-effort
         pass
+    _patch_mosaic_debuginfo()
     _register_compile_listener()
+
+
+def _patch_mosaic_debuginfo() -> None:
+    """Strip source locations from serialized Mosaic (Pallas) payloads.
+
+    JAX's persistent compile cache canonicalises the outer StableHLO
+    with ``strip-debuginfo`` before hashing, but a Pallas kernel's
+    Mosaic module is serialized into the custom_call backend_config
+    *with* debug info (tpu_custom_call.py: write_bytecode of the
+    lowered module).  Locations include the whole caller stack, so
+    editing ANY line above a pallas_call callsite changes the payload
+    bytes and silently invalidates every cached program containing the
+    kernel — a ~17 min famfinder recompile on the tunneled backend per
+    source edit.  Prepending strip-debuginfo to the mosaic-serde
+    pipeline makes the payload (and the cache key) depend only on the
+    computation.  Mosaic uses locations only for error messages.
+
+    Best-effort: any jax-internals drift leaves the stock behavior.
+    Disable with SINA_TPU_STRIP_MOSAIC_DEBUG=0.
+    """
+    if os.environ.get("SINA_TPU_STRIP_MOSAIC_DEBUG", "1") == "0":
+        return
+    try:
+        import io
+
+        import jax._src.tpu_custom_call as tcc
+
+        PassManager = tcc.PassManager
+        tpu = tcc.tpu
+
+        def _lower_stripped(module, *, ir_version=None):
+            has_comm = tpu.private_has_communication(module.operation)
+            with module.context as ctx, module.operation.location as _:
+                module_op = module.operation.clone()
+                prev = ctx.allow_unregistered_dialects
+                ctx.allow_unregistered_dialects = True
+                tv = (
+                    f"target-version={ir_version}"
+                    if ir_version is not None
+                    else ""
+                )
+                try:
+                    pipeline = PassManager.parse(
+                        "builtin.module(strip-debuginfo,"
+                        "mosaic-serde{serialize=true " + tv + "})"
+                    )
+                    pipeline.run(module_op)
+                finally:
+                    ctx.allow_unregistered_dialects = prev
+                buf = io.BytesIO()
+                module_op.write_bytecode(buf, desired_version=0)
+                return buf.getvalue(), has_comm
+
+        # Only patch if the function still has the expected signature.
+        import inspect
+
+        sig = inspect.signature(tcc._lower_mosaic_module_to_asm)
+        if list(sig.parameters) == ["module", "ir_version"]:
+            tcc._lower_mosaic_module_to_asm = _lower_stripped
+    except Exception:
+        pass
 
 
 _after_warmup = False
