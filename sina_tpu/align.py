@@ -79,6 +79,11 @@ class AlignerConfig:
     # "profile" (pseq chain DP, the TPU-native default), "graph"
     # (mseq DAG DP, the reference's default), or "auto" (= profile)
     engine: str = "auto"
+    # trim the profile-DP lattice to each query's anchored column
+    # window (ops/colspan.py) — a TPU-native throughput lever for
+    # short-read (amplicon) workloads; full-length queries are
+    # unaffected.  --no-col-trim disables.
+    col_trim: bool = True
 
     def resolved_engine(self) -> str:
         if self.fs_no_graph:
@@ -233,6 +238,46 @@ def _count_cols_batch(
     )
 
 
+def _trim_windows(todo) -> None:
+    """Shrink each profile-engine item's DP lattice to the query's
+    anchored occupied-column window (ops/colspan.py).  Engages only
+    when the query is short relative to the family span (amplicon
+    workloads) AND anchoring is confident; otherwise the item keeps
+    its full lattice.  On success item[6] becomes the window length
+    (the shape-bucketing input) and item[8] the window start; item[9]
+    keeps the family's full column count for the profile build."""
+    from .ops.colspan import RefAnchorTable, query_window
+
+    fam_cache: dict[tuple, tuple] = {}
+    for it in todo:
+        C = it[6]
+        q = it[1]
+        # full-length queries can't save >25%; skip at zero cost
+        if 2 * len(q.masks) >= C:
+            continue
+        refs = it[4]
+        k = tuple(id(r) for r in refs)
+        ent = fam_cache.get(k)
+        if ent is None:
+            cols = np.unique(
+                np.concatenate([r.positions for r in refs])
+            ).astype(np.int64)
+            ent = (RefAnchorTable(refs[0].masks), cols)
+            fam_cache[k] = ent
+        table, cols = ent
+        win = query_window(q.masks, table, refs[0].positions, cols)
+        if win is None:
+            continue
+        wlo, whi = win
+        if 4 * (whi - wlo) >= 3 * C:
+            continue  # <25% saving: not worth a new shape class
+        # snap the start to a coarse grid so repeated amplicon
+        # queries against the same family dedup to identical rows
+        wlo = (wlo // 64) * 64
+        it[6] = whi - wlo
+        it[8] = wlo
+
+
 def align_dispatch(
     queries: list[Sequence],
     families: list[list[tuple[float, Sequence]]],
@@ -338,6 +383,12 @@ def align_dispatch(
             counts = _count_cols_batch([it[4] for it in todo])
         for it, c in zip(todo, counts):
             it[6] = int(c)
+            # [8] = window start (occupied-column space), [9] = the
+            # family's full occupied-column count (profile build size)
+            it.extend((0, int(c)))
+        if cfg.col_trim:
+            with get_timer("Aligner").section("col trim"):
+                _trim_windows(todo)
 
     # group into shape buckets.  The graph engine snaps both axes to
     # powers of two (min 2048 nodes / 512 query): every distinct
@@ -631,54 +682,102 @@ def _dispatch_profile_bucket(
     width = items[0][4][0].width
 
     # dedup identical families (amplicon batches repeat them): the
-    # profile is built, packed and shipped once per UNIQUE family;
-    # the device gathers each query's row (famfinder hands out the
-    # db's shared Sequence objects, so identity keys suffice)
-    ukeys: dict[tuple, int] = {}
+    # profile is built once per UNIQUE family, and each UNIQUE
+    # (family, window-start) pair becomes one device row — a
+    # col-trimmed item (item[8] > 0, see _trim_windows) slices its
+    # window out of the full profile; the device gathers each query's
+    # row (famfinder hands out the db's shared Sequence objects, so
+    # identity keys suffice)
+    fkeys: dict[tuple, int] = {}
+    ffams: list[list] = []
+    rkeys: dict[tuple, int] = {}
+    row_fam: list[int] = []
+    row_ws: list[int] = []
     fam_idx = np.zeros(B, dtype=np.int32)
-    ufams: list[list] = []
     for b, it in enumerate(items):
-        k = tuple(id(r) for r in it[4])
-        u = ukeys.get(k)
+        fk = tuple(id(r) for r in it[4])
+        fi = fkeys.get(fk)
+        if fi is None:
+            fi = len(ffams)
+            fkeys[fk] = fi
+            ffams.append(it[4])
+        ws = it[8] if len(it) > 8 else 0
+        rk = (fi, ws)
+        u = rkeys.get(rk)
         if u is None:
-            u = len(ufams)
-            ukeys[k] = u
-            ufams.append(it[4])
+            u = len(row_fam)
+            rkeys[rk] = u
+            row_fam.append(fi)
+            row_ws.append(ws)
         fam_idx[b] = u
-    U = len(ufams)
+    U = len(row_fam)
     dedup = U < B
+    c_full_max = max(
+        it[9] if len(it) > 9 else it[6] for it in items
+    )
+    # sliced-row path needed when any row is a window: a nonzero
+    # start, or a length-trimmed window starting at column 0 (then
+    # the bucket cpad is smaller than the family's full span)
+    if not any(row_ws) and c_full_max <= cpad:
+        cpad_build = cpad
+        trimmed = False
+    else:
+        cpad_build = _bucket(c_full_max, 512)
+        trimmed = True
     with t.section("build profile"):
-        pfreqs, pgapo, pgape, cols_list = build_profiles_batch(
-            ufams, cpad
+        pfreqs_f, pgapo_f, pgape_f, cols_list = build_profiles_batch(
+            ffams, cpad_build
         )
+    gapcost_f = (
+        params.gap_open * pgapo_f + params.gap_ext * pgape_f
+    ).astype(np.float32)
+    if trimmed or len(ffams) < U:
+        # materialise the device rows: window slices of the full
+        # profiles (zero-padded past each family's end)
+        pfreqs = np.zeros((U, cpad, 4), dtype=np.float32)
+        gapcost = np.zeros((U, cpad), dtype=np.float32)
+        for u in range(U):
+            fi, ws = row_fam[u], row_ws[u]
+            n = min(cpad, cpad_build - ws)
+            pfreqs[u, :n] = pfreqs_f[fi, ws : ws + n]
+            gapcost[u, :n] = gapcost_f[fi, ws : ws + n]
+    else:
+        pfreqs = pfreqs_f[:, :cpad]
+        gapcost = gapcost_f[:, :cpad]
     if dedup:
         # bucket U to the next power of two for stable compile shapes
         upad = min(B, 1 << max(U - 1, 0).bit_length())
         if upad > U:
             pz = ((0, upad - U),)
             pfreqs = np.pad(pfreqs, pz + ((0, 0), (0, 0)))
-            pgapo = np.pad(pgapo, pz + ((0, 0),))
-            pgape = np.pad(pgape, pz + ((0, 0),))
-    gapcost = (
-        params.gap_open * pgapo + params.gap_ext * pgape
-    ).astype(np.float32)
+            gapcost = np.pad(gapcost, pz + ((0, 0),))
     qmask = np.zeros((B, mpad), dtype=np.uint8)
     ql = np.zeros(B, dtype=np.int32)
     cr = np.zeros(B, dtype=np.int32)
     budget = np.zeros((B, cpad), dtype=np.int32) if aspace else None
     for b, it in enumerate(items):
         q = it[1]
-        cols = cols_list[fam_idx[b]]
-        C = len(cols)
+        u = int(fam_idx[b])
+        fi, ws = row_fam[u], row_ws[u]
+        cols_f = cols_list[fi]
+        Cf = len(cols_f)
+        end = min(ws + cpad, Cf)
+        wl = end - ws
         qmask[b, : len(q.masks)] = q.masks
         ql[b] = len(q.masks)
-        cr[b] = C
-        if aspace:
-            # free columns between occupied columns (mesh.h:480-484)
-            budget[b, : C - 1] = (
-                np.diff(cols.astype(np.int64)) - 1
+        cr[b] = wl
+        if aspace and wl > 0:
+            # free columns between occupied columns (mesh.h:480-484);
+            # a trimmed window's last slot gets the gap to the next
+            # occupied column outside the window
+            budget[b, : wl - 1] = (
+                np.diff(cols_f[ws:end].astype(np.int64)) - 1
             )
-            budget[b, C - 1] = width - int(cols[-1]) - 1
+            budget[b, wl - 1] = (
+                width - int(cols_f[-1]) - 1
+                if end == Cf
+                else int(cols_f[end]) - int(cols_f[end - 1]) - 1
+            )
     with t.section("profile dp dispatch"):
         handle = profile_dp_dispatch(
             pfreqs, gapcost, qmask, ql, cr, params,
@@ -694,7 +793,9 @@ def _dispatch_profile_bucket(
             eidx = np.nonzero(emit[b] >= 0)[0]
             head = int(eidx[0]) if len(eidx) else 0
             pairs = (emit[b][eidx], eidx)
-            cols = cols_list[fam_idx[b]]
+            u = int(fam_idx[b])
+            fi, ws = row_fam[u], row_ws[u]
+            cols = cols_list[fi][ws : ws + int(cr[b])]
             ones = np.ones(len(cols), dtype=np.float32)
             results[idx] = finish_alignment(
                 queries[idx], q, cols, ones, width,

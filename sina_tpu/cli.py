@@ -133,6 +133,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--use-subst-matrix", action="store_true",
                    help="use experimental scoring system (slow)"
                    " (graph engine only, as in the reference)")
+    g.add_argument("--no-col-trim", action="store_true",
+                   help="disable trimming the profile-DP lattice to "
+                   "each query's anchored column window (TPU-native "
+                   "speedup for short reads; trimming is conservative "
+                   "and falls back to the full lattice when k-mer "
+                   "anchoring is weak)")
     g.add_argument("--debug-graph", action="store_true",
                    help="dump reference graphs to .dot files "
                    "(graph engine)")
@@ -368,6 +374,7 @@ def config_from_args(args) -> PipelineConfig:
         use_subst_matrix=args.use_subst_matrix,
         debug_graph=args.debug_graph,
         engine="graph" if args.fs_graph else "auto",
+        col_trim=not args.no_col_trim,
     )
     srch = SearchConfig(
         min_sim=args.search_min_sim,

@@ -1,0 +1,205 @@
+"""Profile-DP column-window trimming (ops/colspan.py + align.py).
+
+Trimming is a TPU-native throughput lever for short-read (amplicon)
+workloads; it must be behaviour-neutral — every test here asserts the
+trimmed alignment is IDENTICAL to the full-lattice one.
+"""
+
+import numpy as np
+
+from sina_tpu import testing
+from sina_tpu.align import AlignerConfig, align_batch, INSERTION_FORBID
+from sina_tpu.sequence import Sequence
+from sina_tpu.testing import unaligned_copy
+
+
+def _amplicon(q: Sequence, lo: int, hi: int) -> Sequence:
+    """Unaligned middle slice of a query's bases (a V4-style read)."""
+    masks = q.masks[lo:hi].copy()
+    n = len(masks)
+    return Sequence(
+        q.name, np.arange(n, dtype=np.uint32), masks, n, {}
+    )
+
+
+def _run_pair(queries, fams, cfg_kw=None):
+    kw = dict(cfg_kw or {})
+    full = align_batch(
+        [q.copy() for q in queries],
+        [list(f) for f in fams],
+        AlignerConfig(col_trim=False, **kw),
+    )
+    trim = align_batch(
+        [q.copy() for q in queries],
+        [list(f) for f in fams],
+        AlignerConfig(col_trim=True, **kw),
+    )
+    return full, trim
+
+
+def test_amplicon_trim_identical():
+    db = testing.make_reference(
+        n_seqs=32, n_core=900, width=1600, seed=21
+    )
+    shared = [(1.0, s) for s in db.sequences[:10]]
+    qs = [
+        _amplicon(q, 250, 480)
+        for q in testing.make_queries(
+            db, n=8, seed=13, branch_len=0.6
+        )
+    ]
+    full, trim = _run_pair(qs, [shared] * len(qs))
+    n_checked = 0
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is None:
+            continue
+        assert f.positions.tolist() == t.positions.tolist()
+        assert f.masks.tolist() == t.masks.tolist()
+        assert f.get_attr("align_quality_slv") == t.get_attr(
+            "align_quality_slv"
+        )
+        n_checked += 1
+    assert n_checked >= 6
+
+
+def test_amplicon_trim_identical_forbid_mode():
+    db = testing.make_reference(
+        n_seqs=24, n_core=900, width=1600, seed=22
+    )
+    shared = [(1.0, s) for s in db.sequences[:8]]
+    qs = [
+        _amplicon(q, 300, 520)
+        for q in testing.make_queries(
+            db, n=5, seed=17, branch_len=0.6
+        )
+    ]
+    full, trim = _run_pair(
+        qs, [shared] * len(qs), {"insertion": INSERTION_FORBID}
+    )
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is None:
+            continue
+        assert f.positions.tolist() == t.positions.tolist()
+
+
+def test_full_length_queries_skip_trimming():
+    # full-length queries must take the untrimmed path (window cannot
+    # save >= 25%) — results identical, no new shape classes
+    from sina_tpu.align import _trim_windows
+
+    db = testing.make_reference(
+        n_seqs=16, n_core=400, width=800, seed=23
+    )
+    shared = [(1.0, s) for s in db.sequences[:8]]
+    qs = [
+        unaligned_copy(q)
+        for q in testing.make_queries(db, n=4, seed=3, branch_len=0.6)
+    ]
+    full, trim = _run_pair(qs, [shared] * len(qs))
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is not None:
+            assert f.positions.tolist() == t.positions.tolist()
+    # and directly: no window assigned on full-length items
+    refs = [s for s in db.sequences[:8]]
+    item = [0, qs[0], None, None, refs, [], 0, 0.0, 0, 0]
+    C = len(
+        np.unique(np.concatenate([r.positions for r in refs]))
+    )
+    item[6] = C
+    item[9] = C
+    _trim_windows([item])
+    assert item[8] == 0 and item[6] == C
+
+
+def test_mixed_batch_trimmed_and_full():
+    # amplicon + full-length in one batch: both classes correct
+    db = testing.make_reference(
+        n_seqs=24, n_core=900, width=1600, seed=24
+    )
+    shared = [(1.0, s) for s in db.sequences[:8]]
+    qfull = [
+        unaligned_copy(q)
+        for q in testing.make_queries(db, n=3, seed=5, branch_len=0.6)
+    ]
+    qamp = [
+        _amplicon(q, 200, 430)
+        for q in testing.make_queries(db, n=3, seed=6, branch_len=0.6)
+    ]
+    qs = qfull + qamp
+    full, trim = _run_pair(qs, [shared] * len(qs))
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is not None:
+            assert f.positions.tolist() == t.positions.tolist()
+
+
+def test_amplicon_at_gene_start_trims():
+    # regression: a window starting at column 0 is still a trimmed
+    # window (bucket cpad < family C) — the dispatcher must build the
+    # full profile and slice, not assume ws==0 means untrimmed
+    db = testing.make_reference(
+        n_seqs=24, n_core=900, width=1600, seed=26
+    )
+    shared = [(1.0, s) for s in db.sequences[:8]]
+    qs = [
+        _amplicon(q, 0, 230)
+        for q in testing.make_queries(
+            db, n=5, seed=29, branch_len=0.6
+        )
+    ]
+    full, trim = _run_pair(qs, [shared] * len(qs))
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is not None:
+            assert f.positions.tolist() == t.positions.tolist()
+
+
+def test_query_window_covers_true_span():
+    # the anchored window must contain every column the full aligner
+    # actually used (sufficiency of the margins, checked directly)
+    from sina_tpu.ops.colspan import RefAnchorTable, query_window
+
+    db = testing.make_reference(
+        n_seqs=16, n_core=900, width=1600, seed=25
+    )
+    refs = db.sequences[:8]
+    cols = np.unique(
+        np.concatenate([r.positions for r in refs])
+    ).astype(np.int64)
+    shared = [(1.0, s) for s in refs]
+    table = RefAnchorTable(refs[0].masks)
+    for q in testing.make_queries(db, n=6, seed=19, branch_len=0.6):
+        amp = _amplicon(q, 250, 470)
+        win = query_window(
+            amp.masks, table, refs[0].positions, cols
+        )
+        if win is None:
+            continue
+        aligned = align_batch(
+            [amp.copy()],
+            [list(shared)],
+            AlignerConfig(col_trim=False),
+        )[0]
+        if aligned is None:
+            continue
+        used = np.searchsorted(cols, aligned.positions)
+        assert win[0] <= used.min() and used.max() < win[1]
+
+
+def test_no_anchors_falls_back():
+    from sina_tpu.ops.colspan import RefAnchorTable, query_window
+
+    rng = np.random.default_rng(0)
+    ref_masks = np.array(
+        [1 << int(b) for b in rng.integers(0, 4, 600)], np.uint8
+    )
+    positions = np.arange(600, dtype=np.int64)
+    cols = positions.copy()
+    table = RefAnchorTable(ref_masks)
+    # unrelated random query: diagonal-consistency should reject it
+    # or (rarely) produce a window; all-ambiguity query must reject
+    amb = np.full(80, 15, np.uint8)  # all-N: no valid k-mers
+    assert query_window(amb, table, positions, cols) is None
