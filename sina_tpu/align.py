@@ -238,17 +238,43 @@ def _count_cols_batch(
     )
 
 
+# Per-flat-store caches for _trim_windows: DB-global occupied
+# columns (one bitmap pass over the flat base store, computed once
+# per db) and per-top-reference anchor tables (persist across
+# batches: dereplicated amplicon workloads repeat top refs).
+_db_cols_cache: dict[int, np.ndarray] = {}
+_anchor_cache: dict[int, object] = {}
+
+
+def _db_occupied_cols(seq) -> np.ndarray | None:
+    flat = getattr(seq, "_flat_ref", None)
+    if flat is None:
+        return None
+    key = id(flat[0])
+    cols = _db_cols_cache.get(key)
+    if cols is None:
+        occ = np.zeros(seq.width, dtype=bool)
+        occ[flat[0]] = True
+        cols = np.flatnonzero(occ).astype(np.int64)
+        _db_cols_cache.clear()
+        _anchor_cache.clear()
+        _db_cols_cache[key] = cols
+    return cols
+
+
 def _trim_windows(todo) -> None:
     """Shrink each profile-engine item's DP lattice to the query's
-    anchored occupied-column window (ops/colspan.py).  Engages only
-    when the query is short relative to the family span (amplicon
-    workloads) AND anchoring is confident; otherwise the item keeps
-    its full lattice.  On success item[6] becomes the window length
-    (the shape-bucketing input) and item[8] the window start; item[9]
-    keeps the family's full column count for the profile build."""
+    anchored column window (ops/colspan.py).  Engages only when the
+    query is short relative to the family span (amplicon workloads)
+    AND anchoring is confident; otherwise the item keeps its full
+    lattice.  On success item[6] becomes the window-size bound (the
+    shape-bucketing input) and item[8] the raw column window start
+    (the dispatcher converts it to family occupied-column ranks once
+    the profile build has handed it the family's columns); item[9]
+    keeps the family's full column count."""
     from .ops.colspan import RefAnchorTable, query_window
 
-    fam_cache: dict[tuple, tuple] = {}
+    fam_cols_cache: dict[tuple, np.ndarray] = {}
     for it in todo:
         C = it[6]
         q = it[1]
@@ -256,26 +282,38 @@ def _trim_windows(todo) -> None:
         if 2 * len(q.masks) >= C:
             continue
         refs = it[4]
-        k = tuple(id(r) for r in refs)
-        ent = fam_cache.get(k)
+        top = refs[0]
+        db_cols = _db_occupied_cols(top)
+        if db_cols is None:
+            # no shared flat store (ad-hoc families, tests): fall
+            # back to this family's own occupied columns
+            fk = tuple(id(r) for r in refs)
+            db_cols = fam_cols_cache.get(fk)
+            if db_cols is None:
+                occ = np.zeros(top.width, dtype=bool)
+                for r in refs:
+                    occ[r.positions] = True
+                db_cols = np.flatnonzero(occ).astype(np.int64)
+                fam_cols_cache[fk] = db_cols
+        if len(_anchor_cache) > 8192:  # ~200MB worst case
+            _anchor_cache.clear()
+        ent = _anchor_cache.get(id(top))
         if ent is None:
-            cols = np.unique(
-                np.concatenate([r.positions for r in refs])
-            ).astype(np.int64)
-            ent = (RefAnchorTable(refs[0].masks), cols)
-            fam_cache[k] = ent
-        table, cols = ent
-        win = query_window(q.masks, table, refs[0].positions, cols)
+            # the entry holds the Sequence too: keeps it alive so the
+            # id() key cannot be reused by another object
+            ent = (top, RefAnchorTable(top.masks))
+            _anchor_cache[id(top)] = ent
+        table = ent[1]
+        win = query_window(q.masks, table, top.positions, db_cols)
         if win is None:
             continue
-        wlo, whi = win
-        if 4 * (whi - wlo) >= 3 * C:
+        lo_col, hi_col, est = win
+        # +64: the dispatcher snaps the start rank down to a 64 grid
+        est += 64
+        if 4 * est >= 3 * C:
             continue  # <25% saving: not worth a new shape class
-        # snap the start to a coarse grid so repeated amplicon
-        # queries against the same family dedup to identical rows
-        wlo = (wlo // 64) * 64
-        it[6] = whi - wlo
-        it[8] = wlo
+        it[6] = est
+        it[8] = (lo_col, hi_col)
 
 
 def align_dispatch(
@@ -684,16 +722,13 @@ def _dispatch_profile_bucket(
     # dedup identical families (amplicon batches repeat them): the
     # profile is built once per UNIQUE family, and each UNIQUE
     # (family, window-start) pair becomes one device row — a
-    # col-trimmed item (item[8] > 0, see _trim_windows) slices its
-    # window out of the full profile; the device gathers each query's
-    # row (famfinder hands out the db's shared Sequence objects, so
-    # identity keys suffice)
+    # col-trimmed item (item[8] = (lo_col, hi_col) raw columns, see
+    # _trim_windows) slices its window out of the full profile; the
+    # device gathers each query's row (famfinder hands out the db's
+    # shared Sequence objects, so identity keys suffice)
     fkeys: dict[tuple, int] = {}
     ffams: list[list] = []
-    rkeys: dict[tuple, int] = {}
-    row_fam: list[int] = []
-    row_ws: list[int] = []
-    fam_idx = np.zeros(B, dtype=np.int32)
+    item_fi = np.zeros(B, dtype=np.int32)
     for b, it in enumerate(items):
         fk = tuple(id(r) for r in it[4])
         fi = fkeys.get(fk)
@@ -701,24 +736,17 @@ def _dispatch_profile_bucket(
             fi = len(ffams)
             fkeys[fk] = fi
             ffams.append(it[4])
-        ws = it[8] if len(it) > 8 else 0
-        rk = (fi, ws)
-        u = rkeys.get(rk)
-        if u is None:
-            u = len(row_fam)
-            rkeys[rk] = u
-            row_fam.append(fi)
-            row_ws.append(ws)
-        fam_idx[b] = u
-    U = len(row_fam)
-    dedup = U < B
+        item_fi[b] = fi
+    any_win = any(
+        len(it) > 8 and it[8] != 0 for it in items
+    )
     c_full_max = max(
         it[9] if len(it) > 9 else it[6] for it in items
     )
-    # sliced-row path needed when any row is a window: a nonzero
-    # start, or a length-trimmed window starting at column 0 (then
-    # the bucket cpad is smaller than the family's full span)
-    if not any(row_ws) and c_full_max <= cpad:
+    # sliced-row path needed when any row is a window, or when a
+    # length-trimmed window starting at column 0 left the bucket cpad
+    # smaller than the family's full span
+    if not any_win and c_full_max <= cpad:
         cpad_build = cpad
         trimmed = False
     else:
@@ -731,6 +759,32 @@ def _dispatch_profile_bucket(
     gapcost_f = (
         params.gap_open * pgapo_f + params.gap_ext * pgape_f
     ).astype(np.float32)
+    # raw column windows -> family occupied-column start ranks
+    # (snapped to a 64 grid so repeated queries dedup), then unique
+    # (family, start) pairs become the device rows
+    rkeys: dict[tuple, int] = {}
+    row_fam: list[int] = []
+    row_ws: list[int] = []
+    fam_idx = np.zeros(B, dtype=np.int32)
+    for b, it in enumerate(items):
+        fi = int(item_fi[b])
+        win = it[8] if len(it) > 8 else 0
+        if win != 0:
+            ws = (
+                int(np.searchsorted(cols_list[fi], win[0])) // 64
+            ) * 64
+        else:
+            ws = 0
+        rk = (fi, ws)
+        u = rkeys.get(rk)
+        if u is None:
+            u = len(row_fam)
+            rkeys[rk] = u
+            row_fam.append(fi)
+            row_ws.append(ws)
+        fam_idx[b] = u
+    U = len(row_fam)
+    dedup = U < B
     if trimmed or len(ffams) < U:
         # materialise the device rows: window slices of the full
         # profiles (zero-padded past each family's end)
@@ -788,20 +842,22 @@ def _dispatch_profile_bucket(
     def finalize():
         with t.section("profile dp fetch"):
             emit, bc, bi, raw = profile_dp_fetch(handle)
-        for b, it in enumerate(items):
-            idx, q, _, cw, refs, log = it[:6]
-            eidx = np.nonzero(emit[b] >= 0)[0]
-            head = int(eidx[0]) if len(eidx) else 0
-            pairs = (emit[b][eidx], eidx)
-            u = int(fam_idx[b])
-            fi, ws = row_fam[u], row_ws[u]
-            cols = cols_list[fi][ws : ws + int(cr[b])]
-            ones = np.ones(len(cols), dtype=np.float32)
-            results[idx] = finish_alignment(
-                queries[idx], q, cols, ones, width,
-                pairs, head, int(bc[b]), int(bi[b]), float(raw[b]),
-                cfg, cw, refs, astats_names[idx], list(log),
-            )
+        with t.section("finish"):
+            for b, it in enumerate(items):
+                idx, q, _, cw, refs, log = it[:6]
+                eidx = np.nonzero(emit[b] >= 0)[0]
+                head = int(eidx[0]) if len(eidx) else 0
+                pairs = (emit[b][eidx], eidx)
+                u = int(fam_idx[b])
+                fi, ws = row_fam[u], row_ws[u]
+                cols = cols_list[fi][ws : ws + int(cr[b])]
+                ones = np.ones(len(cols), dtype=np.float32)
+                results[idx] = finish_alignment(
+                    queries[idx], q, cols, ones, width,
+                    pairs, head, int(bc[b]), int(bi[b]),
+                    float(raw[b]),
+                    cfg, cw, refs, astats_names[idx], list(log),
+                )
 
     return finalize
 

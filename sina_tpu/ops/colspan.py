@@ -80,11 +80,19 @@ def query_window(
     ref_positions: np.ndarray,
     cols: np.ndarray,
     k: int = _K,
-) -> tuple[int, int] | None:
-    """Occupied-column window [lo, hi) that must contain the query's
-    alignment against the family whose top reference is `table`
-    (ref_positions: that reference's per-base alignment columns;
-    cols: the family's occupied columns, ascending).
+) -> tuple[int, int, int] | None:
+    """Alignment-column window that must contain the query's
+    alignment against a family whose top reference is `table`
+    (ref_positions: that reference's per-base alignment columns).
+
+    `cols` is an ascending occupied-column array used for the edge
+    slack and the window-size estimate — pass the WHOLE DB's occupied
+    columns (computed once) and the result is family-independent:
+    returns (lo_col, hi_col, est_len) with raw columns [lo, hi)
+    widened by the slack, and est_len = the number of `cols` entries
+    inside — an upper bound on any sub-family's occupied count there
+    (a subset can only have fewer), so callers can shape-bucket on it
+    and convert to exact family ranks later.
 
     Returns None when anchoring is unreliable (caller uses the full
     lattice)."""
@@ -120,13 +128,17 @@ def query_window(
     hi_base = min(hi_base, table.n_bases - 1)
     lo_col = int(ref_positions[lo_base])
     hi_col = int(ref_positions[hi_base])
-    wlo = int(np.searchsorted(cols, lo_col)) - _EDGE_SLACK_COLS
-    whi = (
+    # edge slack in occupied-column ranks, converted back to raw
+    # columns
+    rlo = int(np.searchsorted(cols, lo_col)) - _EDGE_SLACK_COLS
+    rhi = (
         int(np.searchsorted(cols, hi_col, side="right"))
         + _EDGE_SLACK_COLS
     )
-    wlo = max(wlo, 0)
-    whi = min(whi, len(cols))
-    if whi <= wlo:
+    rlo = max(rlo, 0)
+    rhi = min(rhi, len(cols))
+    if rhi <= rlo:
         return None
-    return wlo, whi
+    lo_col = int(cols[rlo])
+    hi_col = int(cols[rhi - 1]) + 1
+    return lo_col, hi_col, rhi - rlo

@@ -125,20 +125,36 @@ def build_graph(
     )
 
 
+# Reusable capacity-sized output buffers for the native batch graph
+# builder.  A fresh np.empty per call page-faulted ~230MB each batch
+# (15-20s on this slow-memory host — 30x the actual build, the reason
+# the native path was once demoted); reusing the arena pays the fault
+# cost once per process.  The per-family LinearGraphs COPY their
+# compact slices out (a few MB), so the arena is free to be
+# overwritten by the next batch while earlier graphs are still alive
+# in the software pipeline.  Host orchestration is single-threaded.
+_graph_arena: dict[str, np.ndarray] = {}
+
+
+def _arena(name: str, n: int, dtype) -> np.ndarray:
+    buf = _graph_arena.get(name)
+    if buf is None or buf.size < n:
+        cap = n if buf is None else max(n, buf.size * 2)
+        buf = np.empty(cap, dtype)
+        _graph_arena[name] = buf
+    return buf[:n]
+
+
 def build_graphs_batch(
     families: list[list[Sequence]], fs_weight: float = 1.0
 ) -> list[LinearGraph]:
-    """Batched build_graph over many families.
-
-    The numpy per-family path is the default: the native batch
-    builder allocates capacity-sized output arrays (~230MB per
-    128-family batch) and this host's memory is slow enough that
-    page-faulting them costs 15-20s — 30x the actual build.  The
-    native path (sina_build_graphs, parity-tested) stays available
-    via SINA_TPU_NATIVE_GRAPHS=1 for hosts with sane memory."""
+    """Batched build_graph over many families: one parallel native
+    pass (sina_build_graphs, parity-tested vs build_graph) writing
+    into a reused arena.  SINA_TPU_NATIVE_GRAPHS=0 forces the
+    per-family numpy path."""
     import os
 
-    if not os.environ.get("SINA_TPU_NATIVE_GRAPHS"):
+    if os.environ.get("SINA_TPU_NATIVE_GRAPHS", "1") == "0":
         return [build_graph(f, fs_weight) for f in families]
     from .. import native
 
@@ -169,12 +185,14 @@ def build_graphs_batch(
     lib = native.get_lib()
     if lib is None or total == 0:
         return [build_graph(f, fs_weight) for f in families]
-    out_pos = np.empty(total, np.int32)
-    out_mask = np.empty(total, np.uint8)
-    out_count = np.empty(total, np.int32)
-    out_preds = np.empty((total, MAX_PREDS), np.int32)
-    out_flags = np.empty(total, np.uint8)
-    out_maxins = np.empty(total, np.int32)
+    out_pos = _arena("pos", total, np.int32)
+    out_mask = _arena("mask", total, np.uint8)
+    out_count = _arena("count", total, np.int32)
+    out_preds = _arena("preds", total * MAX_PREDS, np.int32).reshape(
+        total, MAX_PREDS
+    )
+    out_flags = _arena("flags", total, np.uint8)
+    out_maxins = _arena("maxins", total, np.int32)
     n_nodes = np.zeros(n_fams, np.int64)
 
     rc = lib.sina_build_graphs(
@@ -197,15 +215,16 @@ def build_graphs_batch(
             + fs_weight * counts / len(families[f])
         ).astype(np.float32)
         flags = out_flags[lo : lo + n]
+        # copies, not views: the arena is reused by the next batch
         out.append(
             LinearGraph(
-                out_pos[lo : lo + n],
-                out_mask[lo : lo + n],
+                out_pos[lo : lo + n].copy(),
+                out_mask[lo : lo + n].copy(),
                 weight,
-                out_preds[lo : lo + n],
+                out_preds[lo : lo + n].copy(),
                 (flags & 1) != 0,
                 (flags & 2) != 0,
-                out_maxins[lo : lo + n],
+                out_maxins[lo : lo + n].copy(),
                 families[f][0].width,
             )
         )

@@ -178,6 +178,7 @@ def test_query_window_covers_true_span():
         )
         if win is None:
             continue
+        lo_col, hi_col, est = win
         aligned = align_batch(
             [amp.copy()],
             [list(shared)],
@@ -185,8 +186,14 @@ def test_query_window_covers_true_span():
         )[0]
         if aligned is None:
             continue
-        used = np.searchsorted(cols, aligned.positions)
-        assert win[0] <= used.min() and used.max() < win[1]
+        used = aligned.positions
+        assert lo_col <= used.min() and used.max() < hi_col
+        # est bounds the family occupied count inside the window
+        n_in = int(
+            np.searchsorted(cols, hi_col)
+            - np.searchsorted(cols, lo_col)
+        )
+        assert est >= n_in
 
 
 def test_no_anchors_falls_back():
