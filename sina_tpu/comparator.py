@@ -96,6 +96,120 @@ class Comparator:
         out["only_b"] = int(len(b_only) - b_over)
         return out
 
+    def _scores_from_counts(
+        self, nat: np.ndarray, qpos: np.ndarray, nq: int
+    ) -> np.ndarray:
+        """Counts (n, 6) [match, common, nb, b_in, r_lo, r_hi] from
+        the native traversal -> cover-normalised (optionally JC)
+        scores, vectorised."""
+        n = len(nat)
+        match = nat[:, 0].astype(np.float64)
+        common = nat[:, 1]
+        nb = nat[:, 2]
+        b_in = nat[:, 3]
+        r_lo, r_hi = nat[:, 4], nat[:, 5]
+        mm = common  # match + mismatch
+        only_b = b_in - common
+        b_over = nb - b_in
+        a_in = np.searchsorted(
+            qpos, r_hi, side="right"
+        ) - np.searchsorted(qpos, r_lo, side="left")
+        only_a = a_in - common
+        a_over = nq - a_in
+        cover = self.cover
+        if cover == COVER_ABS:
+            base = np.ones(n, dtype=np.int64)
+        elif cover == COVER_QUERY:
+            base = mm + only_a + a_over
+        elif cover == COVER_TARGET:
+            base = mm + only_b + b_over
+        elif cover == COVER_OVERLAP:
+            base = mm + only_a + only_b
+        elif cover == COVER_ALL:
+            base = mm + only_a + only_b + a_over + b_over
+        elif cover == COVER_AVERAGE:
+            base = mm + (
+                only_a + only_b + a_over + b_over
+            ) // 2
+        elif cover == COVER_MIN:
+            base = mm + np.minimum(
+                only_a + a_over, only_b + b_over
+            )
+        elif cover == COVER_MAX:
+            base = mm + np.maximum(
+                only_a + a_over, only_b + b_over
+            )
+        else:  # nogap
+            base = mm
+        dist = np.where(
+            base > 0, match / np.maximum(base, 1), 0.0
+        )
+        if self.dist == DIST_JC:
+            with np.errstate(invalid="ignore", divide="ignore"):
+                dist = jukes_cantor(dist)
+        return np.where(nb > 0, dist, 0.0)
+
+    def score_many_batch(
+        self,
+        queries: list[Sequence],
+        flat_pos: np.ndarray,
+        flat_masks: np.ndarray,
+        offsets: np.ndarray,
+        ids_list: list[np.ndarray],
+        width: int,
+    ) -> list[np.ndarray]:
+        """score_many for a whole batch in ONE native call (threaded
+        over queries) — the search stage's candidate rescoring
+        (search_filter.cpp:243-416) was per-query and
+        single-threaded.  Falls back to per-query score_many."""
+        from . import native
+
+        B = len(queries)
+        preps = [self._prep(q) for q in queries]
+        qcol = np.zeros((B, width + 1), dtype=np.uint8)
+        q_lo = np.zeros(B, dtype=np.int64)
+        q_hi = np.zeros(B, dtype=np.int64)
+        for b, (qpos, qmask) in enumerate(preps):
+            if len(qpos):
+                qcol[b, qpos] = qmask
+                q_lo[b], q_hi[b] = int(qpos[0]), int(qpos[-1])
+        id_offsets = np.zeros(B + 1, dtype=np.int64)
+        np.cumsum([len(i) for i in ids_list], out=id_offsets[1:])
+        flat_ids = (
+            np.concatenate(ids_list).astype(np.int64)
+            if B
+            else np.zeros(0, np.int64)
+        )
+        rule_id = {
+            IUPAC_OPTIMISTIC: 0,
+            IUPAC_PESSIMISTIC: 1,
+            IUPAC_EXACT: 2,
+        }[self.iupac]
+        nat = native.score_counts_mq(
+            flat_pos, flat_masks, offsets, flat_ids, id_offsets,
+            qcol, q_lo, q_hi, rule_id, self.filter_lc,
+        )
+        if nat is None:
+            return [
+                self.score_many(
+                    q, flat_pos, flat_masks, offsets, ids, width
+                )
+                for q, ids in zip(queries, ids_list)
+            ]
+        out = []
+        for b in range(B):
+            lo, hi = int(id_offsets[b]), int(id_offsets[b + 1])
+            qpos = preps[b][0]
+            if len(qpos) == 0:
+                out.append(np.zeros(hi - lo, dtype=np.float64))
+                continue
+            out.append(
+                self._scores_from_counts(
+                    nat[lo:hi], qpos, len(qpos)
+                )
+            )
+        return out
+
     def score_many(
         self,
         query: Sequence,
@@ -132,51 +246,7 @@ class Comparator:
             q_lo, q_hi, rule_id, lc,
         )
         if nat is not None:
-            match = nat[:, 0].astype(np.float64)
-            common = nat[:, 1]
-            nb = nat[:, 2]
-            b_in = nat[:, 3]
-            r_lo, r_hi = nat[:, 4], nat[:, 5]
-            mm = common  # match + mismatch
-            only_b = b_in - common
-            b_over = nb - b_in
-            a_in = np.searchsorted(
-                qpos, r_hi, side="right"
-            ) - np.searchsorted(qpos, r_lo, side="left")
-            only_a = a_in - common
-            a_over = nq - a_in
-            cover = self.cover
-            if cover == COVER_ABS:
-                base = np.ones(n, dtype=np.int64)
-            elif cover == COVER_QUERY:
-                base = mm + only_a + a_over
-            elif cover == COVER_TARGET:
-                base = mm + only_b + b_over
-            elif cover == COVER_OVERLAP:
-                base = mm + only_a + only_b
-            elif cover == COVER_ALL:
-                base = mm + only_a + only_b + a_over + b_over
-            elif cover == COVER_AVERAGE:
-                base = mm + (
-                    only_a + only_b + a_over + b_over
-                ) // 2
-            elif cover == COVER_MIN:
-                base = mm + np.minimum(
-                    only_a + a_over, only_b + b_over
-                )
-            elif cover == COVER_MAX:
-                base = mm + np.maximum(
-                    only_a + a_over, only_b + b_over
-                )
-            else:  # nogap
-                base = mm
-            dist = np.where(
-                base > 0, match / np.maximum(base, 1), 0.0
-            )
-            if self.dist == DIST_JC:
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    dist = jukes_cantor(dist)
-            return np.where(nb > 0, dist, 0.0)
+            return self._scores_from_counts(nat, qpos, nq)
 
         cmp_fn = _IUPAC_FN[self.iupac]
         out = np.zeros(n, dtype=np.float64)

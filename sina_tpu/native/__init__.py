@@ -109,6 +109,22 @@ def get_lib():
         ctypes.c_long, ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_score_counts_mq.restype = ctypes.c_long
+    lib.sina_score_counts_mq.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+    ]
     lib.sina_build_kmer_lists.restype = ctypes.c_long
     lib.sina_build_kmer_lists.argtypes = [
         np.ctypeslib.ndpointer(np.uint8),
@@ -248,6 +264,35 @@ def score_counts(
         np.ascontiguousarray(qcol_mask, np.uint8),
         q_lo, q_hi, iupac_rule, 1 if filter_lc else 0,
         out,
+    )
+    return out
+
+
+def score_counts_mq(
+    flat_pos, flat_masks, offsets, ids, id_offsets,
+    qcol_masks, q_lo, q_hi, iupac_rule: int, filter_lc: bool,
+):
+    """Multi-query comparator counts (threaded over queries):
+    returns (id_offsets[-1], 6) int64 rows, or None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    qcol_masks = np.ascontiguousarray(qcol_masks, np.uint8)
+    n_q = qcol_masks.shape[0]
+    out = np.zeros((int(id_offsets[-1]), 6), dtype=np.int64)
+    lib.sina_score_counts_mq(
+        np.ascontiguousarray(flat_pos, np.uint32),
+        np.ascontiguousarray(flat_masks, np.uint8),
+        np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(ids, np.int64),
+        np.ascontiguousarray(id_offsets, np.int64),
+        n_q,
+        qcol_masks, qcol_masks.shape[1],
+        np.ascontiguousarray(q_lo, np.int64),
+        np.ascontiguousarray(q_hi, np.int64),
+        iupac_rule, 1 if filter_lc else 0,
+        out, _n_threads(),
     )
     return out
 

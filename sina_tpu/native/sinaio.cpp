@@ -290,7 +290,7 @@ long sina_count_cols(
 //   iupac_rule                   0 optimistic, 1 pessimistic, 2 exact
 //   filter_lc                    skip lowercase reference bases
 //   out[n_ids*6]                 match, common, nb, b_in, r_lo, r_hi
-long sina_score_counts(
+static void score_counts_range(
     const unsigned int* flat_pos, const unsigned char* flat_masks,
     const long long* offsets,
     const long long* ids, long n_ids,
@@ -337,6 +337,58 @@ long sina_score_counts(
         row[4] = r_lo;
         row[5] = r_hi;
     }
+}
+
+long sina_score_counts(
+    const unsigned int* flat_pos, const unsigned char* flat_masks,
+    const long long* offsets,
+    const long long* ids, long n_ids,
+    const unsigned char* qcol_mask,
+    long long q_lo, long long q_hi,
+    long iupac_rule, long filter_lc,
+    long long* out) {
+    score_counts_range(flat_pos, flat_masks, offsets, ids, n_ids,
+                       qcol_mask, q_lo, q_hi, iupac_rule, filter_lc,
+                       out);
+    return 0;
+}
+
+// Multi-query batched comparator counts: the search stage rescans
+// ~1000 candidates per query; one call scores the whole batch with
+// queries distributed over threads (the per-query loop is the same
+// traversal as sina_score_counts).
+//   ids/id_offsets        flattened per-query candidate lists (CSR)
+//   qcol_masks            (n_queries, stride) query column masks
+//   q_lo/q_hi[n_queries]  per-query occupied spans
+//   out                   (id_offsets[n_queries], 6)
+long sina_score_counts_mq(
+    const unsigned int* flat_pos, const unsigned char* flat_masks,
+    const long long* offsets,
+    const long long* ids, const long long* id_offsets,
+    long n_queries,
+    const unsigned char* qcol_masks, long long stride,
+    const long long* q_lo, const long long* q_hi,
+    long iupac_rule, long filter_lc,
+    long long* out, long n_threads) {
+    std::atomic<long> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            long q = next.fetch_add(1);
+            if (q >= n_queries) break;
+            long long lo = id_offsets[q], hi = id_offsets[q + 1];
+            score_counts_range(
+                flat_pos, flat_masks, offsets,
+                ids + lo, (long)(hi - lo),
+                qcol_masks + (long long)q * stride,
+                q_lo[q], q_hi[q], iupac_rule, filter_lc,
+                out + lo * 6);
+        }
+    };
+    long nt = n_threads < 1 ? 1 : n_threads;
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
     return 0;
 }
 

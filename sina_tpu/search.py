@@ -164,8 +164,26 @@ class SearchFilter:
             for b, (i, _) in enumerate(todo):
                 cand_per[i] = ids[b][vals[b] >= 0]
         out = list(aligned_list)
-        for i, a in todo:
-            out[i] = self._search_one(a, cand_per.get(i))
+        if todo:
+            # one threaded native call rescans every (query,
+            # candidate) pair; the per-query policy below consumes
+            # the precomputed scores
+            all_ids = [
+                cand_per.get(i)
+                if cand_per.get(i) is not None
+                else np.arange(len(self.db))
+                for i, _ in todo
+            ]
+            offsets, flat_pos, flat_masks = self._packed()
+            score_rows = self.comparator.score_many_batch(
+                [a for _, a in todo],
+                flat_pos, flat_masks, offsets,
+                all_ids, self.db.width,
+            )
+            for (i, a), ids_q, scores in zip(
+                todo, all_ids, score_rows
+            ):
+                out[i] = self._search_one(a, ids_q, scores)
         return out
 
     def __call__(self, aligned: Sequence | None) -> Sequence | None:
@@ -174,7 +192,10 @@ class SearchFilter:
         return self.process_batch([aligned])[0]
 
     def _search_one(
-        self, aligned: Sequence, cand_ids: np.ndarray | None
+        self,
+        aligned: Sequence,
+        cand_ids: np.ndarray | None,
+        scores: np.ndarray | None = None,
     ) -> Sequence:
         cfg = self.cfg
         if len(aligned) < 20:
@@ -183,11 +204,12 @@ class SearchFilter:
         if cfg.search_all or cand_ids is None:
             cand_ids = np.arange(len(self.db))
 
-        offsets, flat_pos, flat_masks = self._packed()
-        scores = self.comparator.score_many(
-            aligned, flat_pos, flat_masks, offsets,
-            cand_ids, self.db.width,
-        )
+        if scores is None:
+            offsets, flat_pos, flat_masks = self._packed()
+            scores = self.comparator.score_many(
+                aligned, flat_pos, flat_masks, offsets,
+                cand_ids, self.db.width,
+            )
         order = np.argsort(-scores, kind="stable")
         items = []
         for k in order:

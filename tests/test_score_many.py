@@ -73,3 +73,34 @@ def test_native_and_python_paths_agree(monkeypatch):
                 got_native, got_py, atol=1e-12,
                 err_msg=f"{iupac}/{cover}",
             )
+
+
+def test_score_many_batch_matches_per_query():
+    """The one-call threaded batch scorer (sina_score_counts_mq) must
+    reproduce per-query score_many exactly, including ragged
+    candidate lists and queries with different spans/rules."""
+    from sina_tpu.comparator import COVER_ALL, COVER_MIN
+
+    db = testing.make_reference(n_seqs=40, n_core=150, width=300, seed=5)
+    offsets, flat_pos, flat_masks = db.packed_arrays()
+    qs = testing.make_queries(db, n=6, seed=11)
+    rng = np.random.default_rng(0)
+    ids_list = [
+        np.sort(rng.choice(len(db), size=n, replace=False))
+        for n in (40, 17, 3, 40, 25, 1)
+    ]
+    for iupac in (IUPAC_OPTIMISTIC, IUPAC_EXACT):
+        for cover in (COVER_ALL, COVER_MIN):
+            cmp = Comparator(iupac, "none", cover, False)
+            batch = cmp.score_many_batch(
+                qs, flat_pos, flat_masks, offsets, ids_list,
+                db.width,
+            )
+            for q, ids, got in zip(qs, ids_list, batch):
+                want = cmp.score_many(
+                    q, flat_pos, flat_masks, offsets, ids, db.width
+                )
+                np.testing.assert_allclose(
+                    got, want, atol=1e-12,
+                    err_msg=f"{iupac}/{cover}",
+                )
