@@ -308,8 +308,8 @@ def _trim_windows(todo) -> None:
         if win is None:
             continue
         lo_col, hi_col, est = win
-        # +64: the dispatcher snaps the start rank down to a 64 grid
-        est += 64
+        # +32: the dispatcher snaps the start rank down to a 32 grid
+        est += 32
         if 4 * est >= 3 * C:
             continue  # <25% saving: not worth a new shape class
         it[6] = est
@@ -452,8 +452,14 @@ def align_dispatch(
                 _bucket(m, 512) if m <= 2048 else _pow2(m, 2048),
             )
         else:
+            # 256-step classes below 1024 columns: col-trimmed
+            # amplicon windows land at ~500-800 and a 1024 lattice
+            # would double their DP cost; above 1024 the coarse
+            # node_bucket grid keeps compile classes few
             key = (
-                _bucket(n_shape, node_bucket),
+                _bucket(n_shape, 256)
+                if n_shape <= 1024 - 256
+                else _bucket(n_shape, node_bucket),
                 _bucket(len(q.masks), query_bucket),
             )
         buckets.setdefault(key, []).append(item)
@@ -771,8 +777,8 @@ def _dispatch_profile_bucket(
         win = it[8] if len(it) > 8 else 0
         if win != 0:
             ws = (
-                int(np.searchsorted(cols_list[fi], win[0])) // 64
-            ) * 64
+                int(np.searchsorted(cols_list[fi], win[0])) // 32
+            ) * 32
         else:
             ws = 0
         rk = (fi, ws)

@@ -34,10 +34,12 @@ _DIAG_SLACK_FRAC = 0.25
 _DIAG_SLACK_MIN = 100
 # unanchored query head/tail can consume at most one column per base
 # plus indel slack (bases); then extra slack in occupied-column units
-# for columns contributed by family members other than the top ref
-_BASE_SLACK_FRAC = 0.1
-_BASE_SLACK_MIN = 30
-_EDGE_SLACK_COLS = 64
+# for columns contributed by family members other than the top ref.
+# (The equality-vs-full-lattice tests in test_col_trim.py and the
+# accuracy suite are the guard on these margins.)
+_BASE_SLACK_FRAC = 0.08
+_BASE_SLACK_MIN = 24
+_EDGE_SLACK_COLS = 32
 
 
 def _kmers_with_pos(
