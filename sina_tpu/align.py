@@ -242,8 +242,8 @@ def _count_cols_batch(
 # columns (one bitmap pass over the flat base store, computed once
 # per db) and per-top-reference anchor tables (persist across
 # batches: dereplicated amplicon workloads repeat top refs).
-_db_cols_cache: dict[int, np.ndarray] = {}
-_anchor_cache: dict[int, object] = {}
+_db_cols_cache: dict[int, tuple] = {}
+_anchor_cache: dict[int, tuple] = {}
 
 
 def _db_occupied_cols(seq) -> np.ndarray | None:
@@ -251,15 +251,18 @@ def _db_occupied_cols(seq) -> np.ndarray | None:
     if flat is None:
         return None
     key = id(flat[0])
-    cols = _db_cols_cache.get(key)
-    if cols is None:
+    ent = _db_cols_cache.get(key)
+    # the entry holds the flat array itself: keeps it alive so a
+    # released db's id() cannot be recycled into a stale-cols hit
+    if ent is None or ent[0] is not flat[0]:
         occ = np.zeros(seq.width, dtype=bool)
         occ[flat[0]] = True
         cols = np.flatnonzero(occ).astype(np.int64)
         _db_cols_cache.clear()
         _anchor_cache.clear()
-        _db_cols_cache[key] = cols
-    return cols
+        ent = (flat[0], cols)
+        _db_cols_cache[key] = ent
+    return ent[1]
 
 
 def _trim_windows(todo) -> None:
@@ -308,8 +311,11 @@ def _trim_windows(todo) -> None:
         if win is None:
             continue
         lo_col, hi_col, est = win
-        # +32: the dispatcher snaps the start rank down to a 32 grid
-        est += 32
+        # the dispatcher snaps the start rank down to the shared
+        # grid; cover that extension in the size estimate
+        from .ops.colspan import SNAP_GRID
+
+        est += SNAP_GRID
         if 4 * est >= 3 * C:
             continue  # <25% saving: not worth a new shape class
         it[6] = est
@@ -766,8 +772,11 @@ def _dispatch_profile_bucket(
         params.gap_open * pgapo_f + params.gap_ext * pgape_f
     ).astype(np.float32)
     # raw column windows -> family occupied-column start ranks
-    # (snapped to a 64 grid so repeated queries dedup), then unique
-    # (family, start) pairs become the device rows
+    # (snapped to the shared SNAP_GRID so repeated queries dedup —
+    # the grid size is included in _trim_windows' size estimate),
+    # then unique (family, start) pairs become the device rows
+    from .ops.colspan import SNAP_GRID
+
     rkeys: dict[tuple, int] = {}
     row_fam: list[int] = []
     row_ws: list[int] = []
@@ -777,8 +786,9 @@ def _dispatch_profile_bucket(
         win = it[8] if len(it) > 8 else 0
         if win != 0:
             ws = (
-                int(np.searchsorted(cols_list[fi], win[0])) // 32
-            ) * 32
+                int(np.searchsorted(cols_list[fi], win[0]))
+                // SNAP_GRID
+            ) * SNAP_GRID
         else:
             ws = 0
         rk = (fi, ws)

@@ -272,8 +272,16 @@ def config_from_args(args) -> PipelineConfig:
     for i, o in enumerate(outs):
         t = outtypes[i] if i < len(outtypes) else "auto"
         # "none" is a null sink, not a file (sina.cpp:125-126 maps
-        # TYPE_NONE to a no-op writer); /dev/null likewise
+        # TYPE_NONE to a no-op writer); /dev/null likewise.  Loud,
+        # because a computed output name that happens to be "none"
+        # would otherwise be discarded silently (use ./none for a
+        # literal file of that name).
         if str(o).lower() == "none" or str(o) == "/dev/null":
+            logging.getLogger("sina").info(
+                "output '%s' is the null sink — results for this "
+                "output are discarded (use ./none for a literal "
+                "file)", o,
+            )
             continue
         t = detect_type(o, t)
         if t == "none":

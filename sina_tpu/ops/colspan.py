@@ -32,6 +32,12 @@ _MIN_ANCHORS = 3
 # spurious k-mer hit (repeats); budget scales with query length
 _DIAG_SLACK_FRAC = 0.25
 _DIAG_SLACK_MIN = 100
+# occurrences considered per matched k-mer (repeat tolerance)
+_MAX_OCC = 4
+# the dispatcher snaps window starts down to this occupied-column
+# rank grid; _trim_windows adds the same amount to the size estimate
+# (keep the two coupled — see test_col_trim.py)
+SNAP_GRID = 32
 # unanchored query head/tail can consume at most one column per base
 # plus indel slack (bases); then extra slack in occupied-column units
 # for columns contributed by family members other than the top ref.
@@ -106,8 +112,22 @@ def query_window(
     matched = right > left
     if int(matched.sum()) < _MIN_ANCHORS:
         return None
-    rp = table.pos[left[matched]]
-    qpm = qp[matched]
+    # expand ALL occurrences of each matched k-mer (capped): a
+    # repeated segment would otherwise resolve every anchor to its
+    # first copy, making a wrong-locus placement look diagonally
+    # consistent.  With all occurrences in the offset pool, the
+    # median lands on the true locus (which the majority of
+    # non-repeat k-mers vote for) and per-k-mer we keep the
+    # occurrence nearest that consensus.
+    l_m = left[matched]
+    r_m = np.minimum(right[matched], l_m + _MAX_OCC)
+    counts = r_m - l_m
+    occ_idx = np.repeat(l_m, counts) + (
+        np.arange(int(counts.sum()))
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    rp = table.pos[occ_idx]
+    qpm = np.repeat(qp[matched], counts)
     qlen = len(qmask)
     # diagonal consensus: anchors whose ref-base offset disagrees
     # with the median by more than the indel budget are repeats

@@ -167,7 +167,10 @@ class SearchFilter:
         if todo:
             # one threaded native call rescans every (query,
             # candidate) pair; the per-query policy below consumes
-            # the precomputed scores
+            # the precomputed scores.  Chunked so --search-all on a
+            # SILVA-scale db never materialises the whole
+            # batch x database cross product at once (the counts
+            # array is 48 B/pair).
             all_ids = [
                 cand_per.get(i)
                 if cand_per.get(i) is not None
@@ -175,15 +178,25 @@ class SearchFilter:
                 for i, _ in todo
             ]
             offsets, flat_pos, flat_masks = self._packed()
-            score_rows = self.comparator.score_many_batch(
-                [a for _, a in todo],
-                flat_pos, flat_masks, offsets,
-                all_ids, self.db.width,
-            )
-            for (i, a), ids_q, scores in zip(
-                todo, all_ids, score_rows
-            ):
-                out[i] = self._search_one(a, ids_q, scores)
+            max_pairs = 8_000_000
+            lo = 0
+            while lo < len(todo):
+                hi, pairs = lo, 0
+                while hi < len(todo) and (
+                    hi == lo or pairs + len(all_ids[hi]) <= max_pairs
+                ):
+                    pairs += len(all_ids[hi])
+                    hi += 1
+                score_rows = self.comparator.score_many_batch(
+                    [a for _, a in todo[lo:hi]],
+                    flat_pos, flat_masks, offsets,
+                    all_ids[lo:hi], self.db.width,
+                )
+                for (i, a), ids_q, scores in zip(
+                    todo[lo:hi], all_ids[lo:hi], score_rows
+                ):
+                    out[i] = self._search_one(a, ids_q, scores)
+                lo = hi
         return out
 
     def __call__(self, aligned: Sequence | None) -> Sequence | None:

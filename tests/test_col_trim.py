@@ -210,3 +210,73 @@ def test_no_anchors_falls_back():
     # or (rarely) produce a window; all-ambiguity query must reject
     amb = np.full(80, 15, np.uint8)  # all-N: no valid k-mers
     assert query_window(amb, table, positions, cols) is None
+
+
+def test_snap_grid_covered_by_estimate():
+    # the dispatcher snaps window starts down by up to SNAP_GRID-1
+    # ranks; _trim_windows must extend the bucket estimate by the
+    # same grid or the lattice can lose trailing ranks.  Pin the
+    # coupling: a trimmed item's estimate minus the window's rank
+    # count must be >= SNAP_GRID.
+    from sina_tpu.ops.colspan import (
+        RefAnchorTable, query_window, SNAP_GRID,
+    )
+    from sina_tpu.align import _trim_windows
+
+    db = testing.make_reference(
+        n_seqs=24, n_core=900, width=1600, seed=31
+    )
+    db.ensure_flat()
+    qfull = testing.make_queries(db, n=1, seed=33, branch_len=0.6)[0]
+    parent = next(
+        s for s in db.sequences if s.name == qfull.attrs["parent"]
+    )
+    refs = [parent] + [
+        s for s in db.sequences[:9] if s is not parent
+    ][:7]
+    cols = np.unique(
+        np.concatenate([r.positions for r in refs])
+    ).astype(np.int64)
+    q = _amplicon(qfull, 250, 470)
+    C = len(cols)
+    item = [0, q, None, None, refs, [], C, 0.0, 0, C]
+    _trim_windows([item])
+    assert item[8] != 0, "fixture query failed to anchor"
+    lo_col, hi_col = item[8]
+    table = RefAnchorTable(refs[0].masks)
+    win = query_window(q.masks, table, refs[0].positions, cols)
+    assert item[6] - win[2] >= SNAP_GRID
+
+
+def test_repeat_tolerant_anchoring():
+    # a reference with an exact duplicated segment: first-occurrence
+    # anchoring would place a query from the SECOND copy at the
+    # first; all-occurrence + diagonal consensus must cover the
+    # true locus
+    from sina_tpu.ops.colspan import RefAnchorTable, query_window
+
+    rng = np.random.default_rng(7)
+    seg = np.array(
+        [1 << int(b) for b in rng.integers(0, 4, 120)], np.uint8
+    )
+    uniq1 = np.array(
+        [1 << int(b) for b in rng.integers(0, 4, 400)], np.uint8
+    )
+    uniq2 = np.array(
+        [1 << int(b) for b in rng.integers(0, 4, 400)], np.uint8
+    )
+    masks = np.concatenate([uniq1, seg, uniq2, seg, uniq1[:50]])
+    positions = np.arange(len(masks), dtype=np.int64)
+    cols = positions.copy()
+    table = RefAnchorTable(masks)
+    # query = the second copy's surrounding context (uniq2 tail +
+    # the duplicated segment + trailing context)
+    q_lo = 400 + 120 + 300  # inside uniq2
+    q_hi = 400 + 120 + 400 + 120 + 30
+    q = masks[q_lo:q_hi].copy()
+    win = query_window(q, table, positions, cols)
+    assert win is not None
+    lo_col, hi_col, _ = win
+    assert lo_col <= q_lo and hi_col >= q_hi - 1, (
+        lo_col, hi_col, q_lo, q_hi,
+    )
