@@ -84,6 +84,15 @@ class AlignerConfig:
     # short-read (amplicon) workloads; full-length queries are
     # unaffected.  --no-col-trim disables.
     col_trim: bool = True
+    # trim engages only when the family's full occupied-column count
+    # is at least this large.  Window anchoring + profile window
+    # slicing cost ~1-2 ms/seq of HOST wall (the binding resource on
+    # small hosts) plus extra kernel shape classes; a hardware A/B at
+    # C~1736 (2k-ref amplicon bench) measured trim-on at 137 seq/s vs
+    # trim-off 278 — the saved device columns only outweigh the host
+    # cost on wide lattices (SILVA-width families).  Tests force the
+    # trim path with col_trim_min_cols=0.
+    col_trim_min_cols: int = 4096
 
     def resolved_engine(self) -> str:
         if self.fs_no_graph:
@@ -115,6 +124,24 @@ class AlignmentFailure(Exception):
     pass
 
 
+# Normalized base-string cache for try_copy_alignment: family members
+# are the db's shared Sequence objects repeated across queries and
+# batches, and to_chars + upper + replace per member per query was
+# ~1.6ms/seq of host wall on the 2-core bench host.  Entries hold the
+# Sequence itself so an id() can't be recycled into a stale hit.
+_norm_bases_cache: dict[int, tuple] = {}
+
+
+def _norm_bases(seq: Sequence) -> str:
+    ent = _norm_bases_cache.get(id(seq))
+    if ent is None or ent[0] is not seq:
+        if len(_norm_bases_cache) > 65536:  # ~100MB worst case
+            _norm_bases_cache.clear()
+        ent = (seq, seq.get_bases().upper().replace("U", "T"))
+        _norm_bases_cache[id(seq)] = ent
+    return ent[1]
+
+
 def try_copy_alignment(
     query: Sequence,
     family: list[tuple[float, Sequence]],
@@ -129,9 +156,7 @@ def try_copy_alignment(
     containing = []
     others = []
     for item in family:
-        ref_bases = (
-            item[1].get_bases().upper().replace("U", "T")
-        )
+        ref_bases = _norm_bases(item[1])
         if bases in ref_bases:
             containing.append((item, ref_bases))
         else:
@@ -265,7 +290,7 @@ def _db_occupied_cols(seq) -> np.ndarray | None:
     return ent[1]
 
 
-def _trim_windows(todo) -> None:
+def _trim_windows(todo, min_cols: int = 0) -> None:
     """Shrink each profile-engine item's DP lattice to the query's
     anchored column window (ops/colspan.py).  Engages only when the
     query is short relative to the family span (amplicon workloads)
@@ -281,8 +306,10 @@ def _trim_windows(todo) -> None:
     for it in todo:
         C = it[6]
         q = it[1]
-        # full-length queries can't save >25%; skip at zero cost
-        if 2 * len(q.masks) >= C:
+        # narrow lattices aren't worth the host anchoring cost (see
+        # AlignerConfig.col_trim_min_cols); full-length queries can't
+        # save >25%; both skip at zero cost
+        if C < min_cols or 2 * len(q.masks) >= C:
             continue
         refs = it[4]
         top = refs[0]
@@ -432,7 +459,7 @@ def align_dispatch(
             it.extend((0, int(c)))
         if cfg.col_trim:
             with get_timer("Aligner").section("col trim"):
-                _trim_windows(todo)
+                _trim_windows(todo, cfg.col_trim_min_cols)
 
     # group into shape buckets.  The graph engine snaps both axes to
     # powers of two (min 2048 nodes / 512 query): every distinct

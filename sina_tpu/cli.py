@@ -139,6 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "speedup for short reads; trimming is conservative "
                    "and falls back to the full lattice when k-mer "
                    "anchoring is weak)")
+    g.add_argument("--col-trim-min-cols", type=int, default=4096,
+                   help="only trim when the family's occupied-column "
+                   "count is at least this (host-side anchoring costs "
+                   "~1-2ms/seq; narrow lattices are cheaper untrimmed)")
     g.add_argument("--debug-graph", action="store_true",
                    help="dump reference graphs to .dot files "
                    "(graph engine)")
@@ -383,6 +387,7 @@ def config_from_args(args) -> PipelineConfig:
         debug_graph=args.debug_graph,
         engine="graph" if args.fs_graph else "auto",
         col_trim=not args.no_col_trim,
+        col_trim_min_cols=args.col_trim_min_cols,
     )
     srch = SearchConfig(
         min_sim=args.search_min_sim,

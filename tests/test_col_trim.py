@@ -32,7 +32,7 @@ def _run_pair(queries, fams, cfg_kw=None):
     trim = align_batch(
         [q.copy() for q in queries],
         [list(f) for f in fams],
-        AlignerConfig(col_trim=True, **kw),
+        AlignerConfig(col_trim=True, col_trim_min_cols=0, **kw),
     )
     return full, trim
 
