@@ -32,7 +32,12 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=2400)
     ap.add_argument("--n-core", type=int, default=1450)
     ap.add_argument("--n-queries", type=int, default=640)
-    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument(
+        "--batch-size", type=int, default=None,
+        help="default 128 (1024 for --amplicon: short queries "
+        "amortise per-dispatch tunnel latency better at larger "
+        "batches — measured 434 vs 390 seq/s at 512)",
+    )
     ap.add_argument("--fs-max", type=int, default=40)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
@@ -57,6 +62,11 @@ def main() -> int:
         "SILVA-scale points) and print one JSON line per point",
     )
     args = ap.parse_args()
+    if args.batch_size is None:
+        args.batch_size = 1024 if args.amplicon else 128
+    if args.amplicon and args.n_queries <= args.batch_size:
+        # keep a timed phase of >=4 batches after the warmup batch
+        args.n_queries = 5 * args.batch_size
 
     if args.curve:
         import subprocess

@@ -748,7 +748,7 @@ def _dispatch_profile_bucket(
     items, cpad, mpad, params, cfg, queries, astats_names, results
 ):
     from .ops.profile import (
-        build_profiles_batch,
+        build_profiles_packed_batch,
         profile_dp_dispatch,
         profile_dp_fetch,
     )
@@ -791,13 +791,13 @@ def _dispatch_profile_bucket(
     else:
         cpad_build = _bucket(c_full_max, 512)
         trimmed = True
+    # profiles are built straight into the quantised device wire
+    # format (6 B/col, ops/profile._pack_fgq layout): the f32
+    # freqs/gapcost intermediates never materialise on the host
     with t.section("build profile"):
-        pfreqs_f, pgapo_f, pgape_f, cols_list = build_profiles_batch(
-            ffams, cpad_build
+        fgq_f, cols_list = build_profiles_packed_batch(
+            ffams, cpad_build, params
         )
-    gapcost_f = (
-        params.gap_open * pgapo_f + params.gap_ext * pgape_f
-    ).astype(np.float32)
     # raw column windows -> family occupied-column start ranks
     # (snapped to the shared SNAP_GRID so repeated queries dedup —
     # the grid size is included in _trim_windows' size estimate),
@@ -830,24 +830,19 @@ def _dispatch_profile_bucket(
     dedup = U < B
     if trimmed or len(ffams) < U:
         # materialise the device rows: window slices of the full
-        # profiles (zero-padded past each family's end)
-        pfreqs = np.zeros((U, cpad, 4), dtype=np.float32)
-        gapcost = np.zeros((U, cpad), dtype=np.float32)
+        # packed profiles (zero-padded past each family's end)
+        fgq = np.zeros((U, cpad, 6), dtype=np.uint8)
         for u in range(U):
             fi, ws = row_fam[u], row_ws[u]
             n = min(cpad, cpad_build - ws)
-            pfreqs[u, :n] = pfreqs_f[fi, ws : ws + n]
-            gapcost[u, :n] = gapcost_f[fi, ws : ws + n]
+            fgq[u, :n] = fgq_f[fi, ws : ws + n]
     else:
-        pfreqs = pfreqs_f[:, :cpad]
-        gapcost = gapcost_f[:, :cpad]
+        fgq = fgq_f[:, :cpad]
     if dedup:
         # bucket U to the next power of two for stable compile shapes
         upad = min(B, 1 << max(U - 1, 0).bit_length())
         if upad > U:
-            pz = ((0, upad - U),)
-            pfreqs = np.pad(pfreqs, pz + ((0, 0), (0, 0)))
-            gapcost = np.pad(gapcost, pz + ((0, 0),))
+            fgq = np.pad(fgq, ((0, upad - U), (0, 0), (0, 0)))
     qmask = np.zeros((B, mpad), dtype=np.uint8)
     ql = np.zeros(B, dtype=np.int32)
     cr = np.zeros(B, dtype=np.int32)
@@ -877,9 +872,10 @@ def _dispatch_profile_bucket(
             )
     with t.section("profile dp dispatch"):
         handle = profile_dp_dispatch(
-            pfreqs, gapcost, qmask, ql, cr, params,
+            None, None, qmask, ql, cr, params,
             budget=budget if aspace else None,
             fam_idx=fam_idx if dedup else None,
+            _prepacked=fgq,
         )
 
     def finalize():

@@ -88,6 +88,19 @@ def get_lib():
         np.ctypeslib.ndpointer(np.int32),
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_build_profiles_packed.restype = ctypes.c_long
+    lib.sina_build_profiles_packed.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.uint8),
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     lib.sina_count_cols.restype = ctypes.c_long
     lib.sina_count_cols.argtypes = [
         np.ctypeslib.ndpointer(np.uint32),
@@ -353,6 +366,39 @@ def build_profiles(
     if rc != 0:
         return None
     return freqs, gapo, gape, cols_flat, c_real
+
+
+def build_profiles_packed(
+    all_pos, all_mask, member_starts, base_counts, fam_sizes,
+    width: int, cpad: int,
+    gap_open: float, gap_ext: float, gap_scale: float,
+):
+    """Native batched pseq profile construction emitting the
+    device-quantised wire format directly: fgq (B,cpad,6) u8 — bytes
+    0-3 rint(freq*255), bytes 4-5 int16 rint(gapcost*gap_scale) —
+    bit-exact vs build_profiles + ops/profile._pack_fgq.  Returns
+    (fgq, cols_flat (B,cpad) i32, c_real (B,) i64) or None when the
+    native library is unavailable or cpad is too small."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "sina_build_profiles_packed"):
+        return None
+    B = len(fam_sizes)
+    fgq = np.zeros((B, cpad, 6), np.uint8)
+    cols_flat = np.zeros((B, cpad), np.int32)
+    c_real = np.zeros(B, np.int64)
+    rc = lib.sina_build_profiles_packed(
+        np.ascontiguousarray(all_pos, np.uint32),
+        np.ascontiguousarray(all_mask, np.uint8),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(base_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        B, width, cpad,
+        fgq, gap_open, gap_ext, gap_scale,
+        cols_flat, c_real,
+    )
+    if rc != 0:
+        return None
+    return fgq, cols_flat, c_real
 
 
 def parse_fasta_buffer(data: bytes):

@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -151,14 +152,22 @@ long sina_parse_fasta(
 //   c_real[B]          occupied-column counts
 //
 // Returns 0, or -1 if a family has more occupied columns than cpad.
-long sina_build_profiles(
+//
+// Two output modes share the core: f32 (freqs/gapo_out/gape_out) and
+// device-quantised (fgq, 6 bytes/column — the _pack_fgq wire format:
+// 4 bytes rint(freq*255) + int16 rint(gapcost*gap_scale), gapcost =
+// gap_open*gapo + gap_ext*gape in f32 op order, bit-exact vs the
+// python quantiser, see ops/profile.py:_pack_fgq).  Building packed
+// directly skips the (B,cpad,4) f32 materialisation + the python
+// gapcost/pack passes — ~0.7ms/seq of host wall on the bench host.
+static long build_profiles_core(
     const unsigned int* all_pos, const unsigned char* all_mask,
     const long long* member_starts, const long long* base_counts,
     const long long* fam_sizes,
-    long n_total, long B, long width, long cpad,
+    long B, long width, long cpad,
     float* freqs, float* gapo_out, float* gape_out,
+    unsigned char* fgq, float go_w, float ge_w, float gap_scale,
     int* cols_flat, long long* c_real) {
-    (void)n_total;
     // 12 points split over a mask's letters (pseq.cpp:56-63)
     double wtab[16];
     for (int m = 0; m < 16; ++m) {
@@ -225,17 +234,63 @@ long sina_build_profiles(
             double total =
                 row[0] + row[1] + row[2] + row[3] + 12.0 * (go + ge);
             if (total < 1e-9) total = 1e-9;
-            float* fr = &freqs[((size_t)b * cpad + c) * 4];
-            fr[0] = (float)(row[0] / total);
-            fr[1] = (float)(row[1] / total);
-            fr[2] = (float)(row[2] / total);
-            fr[3] = (float)(row[3] / total);
-            gapo_out[b * cpad + c] = (float)(12.0 * go / total);
-            gape_out[b * cpad + c] = (float)(12.0 * ge / total);
+            float f0 = (float)(row[0] / total);
+            float f1 = (float)(row[1] / total);
+            float f2 = (float)(row[2] / total);
+            float f3 = (float)(row[3] / total);
+            float gof = (float)(12.0 * go / total);
+            float gef = (float)(12.0 * ge / total);
+            if (fgq != nullptr) {
+                unsigned char* o = &fgq[((size_t)b * cpad + c) * 6];
+                // rintf = round-half-to-even, matching np.rint
+                o[0] = (unsigned char)(int)rintf(f0 * 255.0f);
+                o[1] = (unsigned char)(int)rintf(f1 * 255.0f);
+                o[2] = (unsigned char)(int)rintf(f2 * 255.0f);
+                o[3] = (unsigned char)(int)rintf(f3 * 255.0f);
+                float gc = go_w * gof + ge_w * gef;
+                short gi = (short)rintf(gc * gap_scale);
+                std::memcpy(o + 4, &gi, 2);
+            } else {
+                float* fr = &freqs[((size_t)b * cpad + c) * 4];
+                fr[0] = f0;
+                fr[1] = f1;
+                fr[2] = f2;
+                fr[3] = f3;
+                gapo_out[b * cpad + c] = gof;
+                gape_out[b * cpad + c] = gef;
+            }
         }
         seq_cursor += nm;
     }
     return 0;
+}
+
+long sina_build_profiles(
+    const unsigned int* all_pos, const unsigned char* all_mask,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    long n_total, long B, long width, long cpad,
+    float* freqs, float* gapo_out, float* gape_out,
+    int* cols_flat, long long* c_real) {
+    (void)n_total;
+    return build_profiles_core(
+        all_pos, all_mask, member_starts, base_counts, fam_sizes,
+        B, width, cpad, freqs, gapo_out, gape_out,
+        nullptr, 0.0f, 0.0f, 0.0f, cols_flat, c_real);
+}
+
+long sina_build_profiles_packed(
+    const unsigned int* all_pos, const unsigned char* all_mask,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    long B, long width, long cpad,
+    unsigned char* fgq, float gap_open, float gap_ext,
+    float gap_scale,
+    int* cols_flat, long long* c_real) {
+    return build_profiles_core(
+        all_pos, all_mask, member_starts, base_counts, fam_sizes,
+        B, width, cpad, nullptr, nullptr, nullptr,
+        fgq, gap_open, gap_ext, gap_scale, cols_flat, c_real);
 }
 
 // Batched occupied-column counts per family (the bucketing input for

@@ -277,6 +277,51 @@ def build_profiles_batch(
     return freqs, gapo_out, gape_out, cols_list
 
 
+def build_profiles_packed_batch(
+    families: list[list[Sequence]], cpad: int, params: "DpParams"
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """build_profiles_batch emitting the device wire format directly:
+    fgq (B, cpad, 6) uint8 (see _pack_fgq) + per-family occupied
+    column arrays.  The native builder quantises in-loop (bit-exact
+    vs _pack_fgq, parity-tested), skipping the (B, cpad, 4) f32
+    freqs / gapcost intermediates entirely; without the native
+    library this falls back to build + pack."""
+    from .. import native
+
+    B = len(families)
+    width = families[0][0].width
+    fam_sizes = np.array([len(f) for f in families], dtype=np.int64)
+    seqs = [s for f in families for s in f]
+    n_total = len(seqs)
+
+    refs = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = refs[0] if refs else None
+    if r0 is not None and all(
+        r is not None and r[0] is r0[0] and r[4] is s.positions
+        for r, s in zip(refs, seqs)
+    ):
+        starts = np.fromiter((r[2] for r in refs), np.int64, n_total)
+        ends = np.fromiter((r[3] for r in refs), np.int64, n_total)
+        nat = native.build_profiles_packed(
+            r0[0], r0[1], starts, ends - starts, fam_sizes,
+            width, cpad,
+            params.gap_open, params.gap_ext, _gap_scale(params),
+        )
+        if nat is not None:
+            fgq, cols_flat, c_real = nat
+            return fgq, [
+                cols_flat[b, : int(c_real[b])] for b in range(B)
+            ]
+
+    freqs, gapo, gape, cols_list = build_profiles_batch(
+        families, cpad
+    )
+    gapcost = (
+        params.gap_open * gapo + params.gap_ext * gape
+    ).astype(np.float32)
+    return _pack_fgq(freqs, gapcost, params), cols_list
+
+
 def query_profile_weights(qmask: np.ndarray) -> np.ndarray:
     """(M, 4) f32: each query base spread over its IUPAC letters
     (base_profile(base_iupac), pseq.h:66-86)."""

@@ -125,6 +125,50 @@ def test_count_cols_batch_matches_unique():
     assert list(got) == want
 
 
+def test_native_build_profiles_packed_bit_exact():
+    """The in-C++ quantiser must be bit-exact vs build_profiles_batch
+    followed by the python _pack_fgq (both the freq bytes and the
+    int16 gap-cost fixed point)."""
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.ops.align_kernel import DpParams
+    from sina_tpu.ops.profile import (
+        _gap_scale, _pack_fgq, build_profiles_batch,
+        build_profiles_packed_batch,
+    )
+
+    db = testing.make_reference(
+        n_seqs=40, n_core=200, width=400, seed=11
+    )
+    db.ensure_flat()
+    fams = [db.sequences[i : i + 8] for i in range(0, 40, 8)]
+    params = DpParams(
+        match=-2.0, mismatch=1.0, gap_open=5.0, gap_ext=2.0
+    )
+    cpad = 512
+    freqs, gapo, gape, cols_a = build_profiles_batch(fams, cpad)
+    gapcost = (
+        params.gap_open * gapo + params.gap_ext * gape
+    ).astype(np.float32)
+    want = _pack_fgq(freqs, gapcost, params)
+    got, cols_b = build_profiles_packed_batch(fams, cpad, params)
+    assert got.shape == want.shape and got.dtype == np.uint8
+    assert np.array_equal(got, want)
+    for a, b in zip(cols_a, cols_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # quantisation sanity: int16 gap costs round-trip within half a
+    # fixed-point step
+    gi = (
+        got[:, :, 4:6]
+        .copy()
+        .view(np.int16)
+        .reshape(got.shape[0], cpad)
+    )
+    back = gi.astype(np.float64) / _gap_scale(params)
+    assert np.max(np.abs(back - gapcost)) <= 0.5 / _gap_scale(params)
+
+
 def test_native_kmer_lists_match_python():
     import numpy as np
 
