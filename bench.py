@@ -31,7 +31,8 @@ def main() -> int:
     ap.add_argument("--n-refs", type=int, default=2000)
     ap.add_argument("--width", type=int, default=2400)
     ap.add_argument("--n-core", type=int, default=1450)
-    ap.add_argument("--n-queries", type=int, default=640)
+    ap.add_argument("--n-queries", type=int, default=None,
+                    help="default 640 (5*batch for --amplicon)")
     ap.add_argument(
         "--batch-size", type=int, default=None,
         help="default 128 (1024 for --amplicon: short queries "
@@ -64,9 +65,11 @@ def main() -> int:
     args = ap.parse_args()
     if args.batch_size is None:
         args.batch_size = 1024 if args.amplicon else 128
-    if args.amplicon and args.n_queries <= args.batch_size:
+    if args.n_queries is None:
         # keep a timed phase of >=4 batches after the warmup batch
-        args.n_queries = 5 * args.batch_size
+        args.n_queries = (
+            5 * args.batch_size if args.amplicon else 640
+        )
 
     if args.curve:
         import subprocess

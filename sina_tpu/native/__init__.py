@@ -28,8 +28,13 @@ def _build() -> bool:
     try:
         subprocess.run(
             [
-                "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-pthread", str(_SRC), "-o", str(_SO),
+                # -ffp-contract=off: -O3 defaults to fast contraction;
+                # on FMA-baseline targets (aarch64) a fused
+                # go_w*gof + ge_w*gef could differ by 1 ulp from
+                # numpy's two-rounding f32 order and break the claimed
+                # bit-exactness vs _pack_fgq at int16 rounding edges.
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                "-std=c++17", "-pthread", str(_SRC), "-o", str(_SO),
             ],
             check=True,
             capture_output=True,
@@ -52,11 +57,32 @@ def get_lib():
     ):
         if not _build():
             return None
+    lib = _load_and_bind()
+    if lib is None and _SRC.exists():
+        # A stale .so (copied tree / touched file) can pass the mtime
+        # check yet miss newer symbols; rebuild once before giving up
+        # so one bad timestamp doesn't disable every native path.
+        if _build():
+            lib = _load_and_bind()
+    _lib = lib
+    return _lib
+
+
+def _load_and_bind():
     try:
         lib = ctypes.CDLL(str(_SO))
     except OSError as e:
         logger.info("native load failed: %s", e)
         return None
+    try:
+        _bind(lib)
+    except AttributeError as e:
+        logger.info("native symbol missing (stale libsinaio.so): %s", e)
+        return None
+    return lib
+
+
+def _bind(lib):
     lib.sina_parse_fasta.restype = ctypes.c_long
     lib.sina_parse_fasta.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
@@ -185,8 +211,6 @@ def get_lib():
         np.ctypeslib.ndpointer(np.uint8),
         ctypes.c_longlong, ctypes.c_long,
     ]
-    _lib = lib
-    return _lib
 
 
 def _n_threads() -> int:
