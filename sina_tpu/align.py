@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import alphabet
+from .cache import IdentityCache
 from .comparator import Comparator, IUPAC_OPTIMISTIC, COVER_OVERLAP
 from .ops import align_kernel as ak
 from .ops.graph import LinearGraph, build_graph
@@ -127,19 +128,14 @@ class AlignmentFailure(Exception):
 # Normalized base-string cache for try_copy_alignment: family members
 # are the db's shared Sequence objects repeated across queries and
 # batches, and to_chars + upper + replace per member per query was
-# ~1.6ms/seq of host wall on the 2-core bench host.  Entries hold the
-# Sequence itself so an id() can't be recycled into a stale hit.
-_norm_bases_cache: dict[int, tuple] = {}
+# ~1.6ms/seq of host wall on the 2-core bench host.
+_norm_bases_cache = IdentityCache(65536)  # ~100MB worst case
 
 
 def _norm_bases(seq: Sequence) -> str:
-    ent = _norm_bases_cache.get(id(seq))
-    if ent is None or ent[0] is not seq:
-        if len(_norm_bases_cache) > 65536:  # ~100MB worst case
-            _norm_bases_cache.clear()
-        ent = (seq, seq.get_bases().upper().replace("U", "T"))
-        _norm_bases_cache[id(seq)] = ent
-    return ent[1]
+    return _norm_bases_cache.get(
+        seq, lambda s: s.get_bases().upper().replace("U", "T")
+    )
 
 
 def try_copy_alignment(
@@ -267,27 +263,23 @@ def _count_cols_batch(
 # columns (one bitmap pass over the flat base store, computed once
 # per db) and per-top-reference anchor tables (persist across
 # batches: dereplicated amplicon workloads repeat top refs).
-_db_cols_cache: dict[int, tuple] = {}
-_anchor_cache: dict[int, tuple] = {}
+_db_cols_cache = IdentityCache(1)  # one db at a time
+_anchor_cache = IdentityCache(8192)  # ~200MB worst case
 
 
 def _db_occupied_cols(seq) -> np.ndarray | None:
     flat = getattr(seq, "_flat_ref", None)
     if flat is None:
         return None
-    key = id(flat[0])
-    ent = _db_cols_cache.get(key)
-    # the entry holds the flat array itself: keeps it alive so a
-    # released db's id() cannot be recycled into a stale-cols hit
-    if ent is None or ent[0] is not flat[0]:
-        occ = np.zeros(seq.width, dtype=bool)
-        occ[flat[0]] = True
-        cols = np.flatnonzero(occ).astype(np.int64)
-        _db_cols_cache.clear()
+
+    def build(flat_pos):
+        # new db: drop anchors built against the previous one
         _anchor_cache.clear()
-        ent = (flat[0], cols)
-        _db_cols_cache[key] = ent
-    return ent[1]
+        occ = np.zeros(seq.width, dtype=bool)
+        occ[flat_pos] = True
+        return np.flatnonzero(occ).astype(np.int64)
+
+    return _db_cols_cache.get(flat[0], build)
 
 
 def _trim_windows(todo, min_cols: int = 0) -> None:
@@ -325,15 +317,9 @@ def _trim_windows(todo, min_cols: int = 0) -> None:
                     occ[r.positions] = True
                 db_cols = np.flatnonzero(occ).astype(np.int64)
                 fam_cols_cache[fk] = db_cols
-        if len(_anchor_cache) > 8192:  # ~200MB worst case
-            _anchor_cache.clear()
-        ent = _anchor_cache.get(id(top))
-        if ent is None:
-            # the entry holds the Sequence too: keeps it alive so the
-            # id() key cannot be reused by another object
-            ent = (top, RefAnchorTable(top.masks))
-            _anchor_cache[id(top)] = ent
-        table = ent[1]
+        table = _anchor_cache.get(
+            top, lambda t: RefAnchorTable(t.masks)
+        )
         win = query_window(q.masks, table, top.positions, db_cols)
         if win is None:
             continue
@@ -616,7 +602,9 @@ def _dispatch_graph_bucket(
 
     from .ops.graph import pad_graph
 
-    g_list = [pad_graph(it[2], npad) for it in items]
+    tg = get_timer("GraphDP")
+    with tg.section("pad"):
+        g_list = [pad_graph(it[2], npad) for it in items]
     wmax = max(len(it[3]) for it in items)
     cw_pad = np.ones((len(items), wmax), dtype=np.float32)
     qm = np.zeros((len(items), mpad), dtype=np.int32)
@@ -651,23 +639,24 @@ def _dispatch_graph_bucket(
         ).astype(np.float32)
         for it in items:
             it[5].append(f"using dist: {float(it[7]):.6g};")
-    preds_all = np.stack([g.preds for g in g_list])
-    # sliding-window DP core when every pred is nearby in topo
-    # order (always true for MSA-derived POA graphs in practice)
-    valid = preds_all >= 0
-    node_ids = np.arange(preds_all.shape[1])[None, :, None]
-    dists = np.where(valid, node_ids - preds_all, 0)
-    maxd = int(dists.max()) if valid.any() else 0
-    window = 32 if 0 < maxd < 32 else None
-    stacks = (
-        np.stack([g.pos for g in g_list]),
-        np.stack([g.mask.astype(np.int32) for g in g_list]),
-        np.stack([g.weight for g in g_list]),
-        preds_all,
-        np.stack([g.is_start for g in g_list]),
-        np.stack([g.is_end for g in g_list]),
-        qm, ql, nr, cw_pad,
-    )
+    with tg.section("stack"):
+        preds_all = np.stack([g.preds for g in g_list])
+        # sliding-window DP core when every pred is nearby in topo
+        # order (always true for MSA-derived POA graphs in practice)
+        valid = preds_all >= 0
+        node_ids = np.arange(preds_all.shape[1])[None, :, None]
+        dists = np.where(valid, node_ids - preds_all, 0)
+        maxd = int(dists.max()) if valid.any() else 0
+        window = 32 if 0 < maxd < 32 else None
+        stacks = (
+            np.stack([g.pos for g in g_list]),
+            np.stack([g.mask.astype(np.int32) for g in g_list]),
+            np.stack([g.weight for g in g_list]),
+            preds_all,
+            np.stack([g.is_start for g in g_list]),
+            np.stack([g.is_end for g in g_list]),
+            qm, ql, nr, cw_pad,
+        )
     budget = (
         np.stack([g.max_insert for g in g_list])
         if max_ins is not None
@@ -728,18 +717,20 @@ def _dispatch_graph_bucket(
             pass
 
     def finalize():
-        emit, bj, bi, raw = (np.asarray(a) for a in out)
-        for b, it in enumerate(items):
-            idx, q, graph, cw, refs, log = it[:6]
-            eidx = np.nonzero(emit[b] >= 0)[0]
-            head = int(eidx[0]) if len(eidx) else 0
-            pairs = (emit[b][eidx], eidx)
-            results[idx] = finish_alignment(
-                queries[idx], q, graph.pos, graph.weight,
-                graph.width, pairs, head, int(bj[b]), int(bi[b]),
-                float(raw[b]), cfg, cw, refs, astats_names[idx],
-                list(log),
-            )
+        with tg.section("fetch"):
+            emit, bj, bi, raw = (np.asarray(a) for a in out)
+        with tg.section("finish"):
+            for b, it in enumerate(items):
+                idx, q, graph, cw, refs, log = it[:6]
+                eidx = np.nonzero(emit[b] >= 0)[0]
+                head = int(eidx[0]) if len(eidx) else 0
+                pairs = (emit[b][eidx], eidx)
+                results[idx] = finish_alignment(
+                    queries[idx], q, graph.pos, graph.weight,
+                    graph.width, pairs, head, int(bj[b]), int(bi[b]),
+                    float(raw[b]), cfg, cw, refs, astats_names[idx],
+                    list(log),
+                )
 
     return finalize
 

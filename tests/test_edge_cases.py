@@ -144,3 +144,29 @@ def test_silva_width_alignment():
             q0, out
         )
         assert sps > 0.9, (engine, sps)
+
+
+def test_identity_cache():
+    """IdentityCache: identity keying, pinning, bound clearing."""
+    from sina_tpu.cache import IdentityCache
+
+    c = IdentityCache(max_entries=2)
+    calls = []
+
+    def build(o):
+        calls.append(o)
+        return len(o)
+
+    a, b = [1, 2], [3]
+    assert c.get(a, build) == 2
+    assert c.get(a, build) == 2  # hit: no rebuild
+    assert calls == [a]
+    assert c.get(b, build) == 1
+    # a NEW object at a possibly-recycled id never stale-hits
+    a2 = [9, 9, 9]
+    assert c.get(a2, build) == 3
+    # exceeding the bound clears rather than evicting precisely
+    c.get([0] * 4, build)
+    assert len(c) <= 2
+    c.clear()
+    assert len(c) == 0
