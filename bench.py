@@ -263,11 +263,15 @@ def main() -> int:
     for name, t in _registry.items():
         print(f"# timings {name}: {t}", file=sys.stderr)
 
+    from sina_tpu.jax_setup import cache_stats
+
+    hits, misses = cache_stats()
     rate = n_timed / elapsed if elapsed > 0 else 0.0
     print(
         f"# gen={t_gen:.1f}s index={t_index:.1f}s warmup={t_warm:.1f}s "
         f"timed {n_timed} seqs in {elapsed:.1f}s "
-        f"(aligned {n_done + n_warm}/{len(queries)})",
+        f"(aligned {n_done + n_warm}/{len(queries)}) "
+        f"compile-cache hits={hits} misses={misses}",
         file=sys.stderr,
     )
     if args.amplicon:
