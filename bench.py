@@ -47,6 +47,11 @@ def main() -> int:
         "second headline: 1M amplicons/h ~ 280 seq/s)",
     )
     ap.add_argument(
+        "--col-trim-min", type=int, default=None,
+        help="override AlignerConfig.col_trim_min_cols (0 forces "
+        "column-trimming on; default keeps the config gate)",
+    )
+    ap.add_argument(
         "--graph", action="store_true",
         help="use the graph (mseq DAG) aligner engine instead of the "
         "default profile chain (Pallas push-relaxation kernel on TPU)",
@@ -206,6 +211,8 @@ def main() -> int:
         return 0
 
     acfg = AlignerConfig(engine="graph" if args.graph else "auto")
+    if args.col_trim_min is not None:
+        acfg.col_trim_min_cols = args.col_trim_min
 
     def dispatch(batch, handle=None):
         results = finder.process_batch(batch, handle=handle)

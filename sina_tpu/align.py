@@ -282,6 +282,36 @@ def _db_occupied_cols(seq) -> np.ndarray | None:
     return _db_cols_cache.get(flat[0], build)
 
 
+def _count_cols_range_batch(
+    fam_refs: list[list[Sequence]],
+    lo: np.ndarray,
+    hi: np.ndarray,
+) -> np.ndarray | None:
+    """Exact occupied-column count per family inside raw-column
+    window [lo, hi) (one native pass over the shared flat store, as
+    _count_cols_batch); None when no shared store / native lib."""
+    from . import native
+
+    seqs = [r for refs in fam_refs for r in refs]
+    flats = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = flats[0] if flats else None
+    if r0 is not None and all(
+        f is not None and f[0] is r0[0] and f[4] is s.positions
+        for f, s in zip(flats, seqs)
+    ):
+        n = len(seqs)
+        starts = np.fromiter((f[2] for f in flats), np.int64, n)
+        ends = np.fromiter((f[3] for f in flats), np.int64, n)
+        fam_sizes = np.array(
+            [len(refs) for refs in fam_refs], np.int64
+        )
+        return native.count_cols_range(
+            r0[0], starts, ends - starts, fam_sizes, lo, hi,
+            fam_refs[0][0].width,
+        )
+    return None
+
+
 def _trim_windows(todo, min_cols: int = 0) -> None:
     """Shrink each profile-engine item's DP lattice to the query's
     anchored column window (ops/colspan.py).  Engages only when the
@@ -292,9 +322,11 @@ def _trim_windows(todo, min_cols: int = 0) -> None:
     (the dispatcher converts it to family occupied-column ranks once
     the profile build has handed it the family's columns); item[9]
     keeps the family's full column count."""
-    from .ops.colspan import RefAnchorTable, query_window
+    from .ops.colspan import SNAP_GRID, RefAnchorTable, query_window
 
     fam_cols_cache: dict[tuple, np.ndarray] = {}
+    # [item, lo_col, hi_col, est, db_ranked]
+    pend: list[list] = []
     for it in todo:
         C = it[6]
         q = it[1]
@@ -306,7 +338,8 @@ def _trim_windows(todo, min_cols: int = 0) -> None:
         refs = it[4]
         top = refs[0]
         db_cols = _db_occupied_cols(top)
-        if db_cols is None:
+        db_ranked = db_cols is not None
+        if not db_ranked:
             # no shared flat store (ad-hoc families, tests): fall
             # back to this family's own occupied columns
             fk = tuple(id(r) for r in refs)
@@ -323,13 +356,29 @@ def _trim_windows(todo, min_cols: int = 0) -> None:
         win = query_window(q.masks, table, top.positions, db_cols)
         if win is None:
             continue
-        lo_col, hi_col, est = win
+        pend.append([it, win[0], win[1], win[2], db_ranked])
+    if not pend:
+        return
+    # whole-db rank estimates over-count the window by the db/family
+    # column-density ratio (a ~790-col amplicon window was bucketing
+    # at 1024 instead of 512); one batched native pass replaces them
+    # with the family's exact in-window occupied count.  The family-
+    # fallback estimates above are already exact.
+    ref_rows = [p for p in pend if p[4]]
+    if ref_rows:
+        exact = _count_cols_range_batch(
+            [p[0][4] for p in ref_rows],
+            np.array([p[1] for p in ref_rows], np.int64),
+            np.array([p[2] for p in ref_rows], np.int64),
+        )
+        if exact is not None:
+            for p, ex in zip(ref_rows, exact):
+                p[3] = int(ex)
+    for it, lo_col, hi_col, est, _ in pend:
         # the dispatcher snaps the start rank down to the shared
         # grid; cover that extension in the size estimate
-        from .ops.colspan import SNAP_GRID
-
         est += SNAP_GRID
-        if 4 * est >= 3 * C:
+        if 4 * est >= 3 * it[6]:
             continue  # <25% saving: not worth a new shape class
         it[6] = est
         it[8] = (lo_col, hi_col)

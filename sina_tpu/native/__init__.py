@@ -136,6 +136,17 @@ def _bind(lib):
         ctypes.c_long, ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_count_cols_range.restype = ctypes.c_long
+    lib.sina_count_cols_range.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     lib.sina_score_counts.restype = ctypes.c_long
     lib.sina_score_counts.argtypes = [
         np.ctypeslib.ndpointer(np.uint32),
@@ -350,6 +361,34 @@ def count_cols(
         np.ascontiguousarray(member_starts, np.int64),
         np.ascontiguousarray(base_counts, np.int64),
         np.ascontiguousarray(fam_sizes, np.int64),
+        B, width,
+        out,
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def count_cols_range(
+    all_pos, member_starts, base_counts, fam_sizes, lo, hi,
+    width: int,
+):
+    """Occupied-column counts restricted to per-family raw-column
+    windows [lo, hi) — the exact bucketing input for col-trimmed DP
+    rows.  Returns (B,) int64 or None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(fam_sizes)
+    out = np.zeros(B, np.int64)
+    rc = lib.sina_count_cols_range(
+        np.ascontiguousarray(all_pos, np.uint32),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(base_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        np.ascontiguousarray(lo, np.int64),
+        np.ascontiguousarray(hi, np.int64),
         B, width,
         out,
     )

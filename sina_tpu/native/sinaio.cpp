@@ -332,6 +332,44 @@ long sina_count_cols(
     return 0;
 }
 
+// Occupied-column count restricted to a per-family raw-column window
+// [lo, hi): the exact shape-bucketing input for column-trimmed
+// profile DP rows.  The whole-db rank estimate over-counts by the
+// db/family column-density ratio (a 791-col window was bucketing at
+// 1024 instead of 512 on the amplicon bench); this counts the
+// family's own columns inside the window.
+long sina_count_cols_range(
+    const unsigned int* all_pos,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    const long long* lo, const long long* hi,
+    long B, long width,
+    long long* counts) {
+    std::vector<int> stamp((size_t)width, -1);
+    long seq_cursor = 0;
+    for (long b = 0; b < B; ++b) {
+        long nm = fam_sizes[b];
+        long long C = 0;
+        unsigned int l = (unsigned int)lo[b];
+        unsigned int h = (unsigned int)hi[b];
+        for (long m = 0; m < nm; ++m) {
+            long long cur = member_starts[seq_cursor + m];
+            long long cnt = base_counts[seq_cursor + m];
+            for (long long k = 0; k < cnt; ++k, ++cur) {
+                unsigned int p = all_pos[cur];
+                if (p >= (unsigned int)width) return -1;
+                if (p >= l && p < h && stamp[p] != (int)b) {
+                    stamp[p] = (int)b;
+                    ++C;
+                }
+            }
+        }
+        counts[b] = C;
+        seq_cursor += nm;
+    }
+    return 0;
+}
+
 // Batched comparator counts for the search stage
 // (cseq_comparator::traverse semantics, cseq_comparator.cpp:57-117):
 // for each candidate reference, count matches/shared columns against

@@ -243,9 +243,13 @@ def test_snap_grid_covered_by_estimate():
     _trim_windows([item])
     assert item[8] != 0, "fixture query failed to anchor"
     lo_col, hi_col = item[8]
-    table = RefAnchorTable(refs[0].masks)
-    win = query_window(q.masks, table, refs[0].positions, cols)
-    assert item[6] - win[2] >= SNAP_GRID
+    # the dispatcher's needed slice length is the family's occupied
+    # ranks in [lo, hi) plus up to SNAP_GRID-1 from snapping the
+    # start down; the bucket estimate must cover that
+    in_win = int(
+        np.searchsorted(cols, hi_col) - np.searchsorted(cols, lo_col)
+    )
+    assert item[6] - in_win >= SNAP_GRID
 
 
 def test_repeat_tolerant_anchoring():
