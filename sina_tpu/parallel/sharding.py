@@ -58,7 +58,7 @@ def sharded_search(mesh: Mesh, k_top: int):
     for the PT-server candidate merge).
     """
     from ..ops.kmer_kernel import (
-        kmer_scores_packed_xla, kmer_scores_xla,
+        grouped_top_k, kmer_scores_packed_xla, kmer_scores_xla,
     )
 
     mp = mesh.shape["mp"]
@@ -78,7 +78,12 @@ def sharded_search(mesh: Mesh, k_top: int):
             s_local = P_local.shape[1]
             scores = kmer_scores_xla(P_local, kmers_local)
         k_local = min(k_top, s_local)
-        v, i = jax.lax.top_k(scores, k_local)
+        if s_local >= 32768:
+            # SILVA-scale shards: group-max hierarchical top-k is
+            # exact and 8x narrower than the full sequence axis
+            v, i = grouped_top_k(scores, k_local)
+        else:
+            v, i = jax.lax.top_k(scores, k_local)
         shard = jax.lax.axis_index("mp")
         i = i + shard * s_local
         # merge candidates across index shards
