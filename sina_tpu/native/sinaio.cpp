@@ -652,88 +652,126 @@ long sina_build_graphs(
     }
     std::atomic<long> next(0);
     std::atomic<long> err(0);
+    // Node keys are (pos << 4 | mask): flat-store masks are the
+    // case-stripped low 4 IUPAC bits (refdb.ensure_flat), so the key
+    // space is width*16 and nodes rank via an epoch-stamped direct
+    // table instead of sort + per-base lower_bound; predecessors
+    // insert straight into their <=P ascending slots instead of a
+    // sorted-deduped edge array.  Same outputs, ~2-3x less work —
+    // graph build was the top host-wall item of the graph engine.
     auto worker = [&]() {
-        std::vector<long long> keys;       // pos<<8 | mask
+        std::vector<int> stamp;            // epoch per key
+        std::vector<int> id_of;            // node id per key
         std::vector<int> node_of;          // per base -> node id
-        std::vector<long long> ekeys;      // dst*N + src
+        std::vector<long long> uniq;
+        std::vector<unsigned char> has_succ;
+        std::vector<int> minnext;
+        std::vector<int> npred;
+        int epoch = 0;
         for (;;) {
             long f = next.fetch_add(1);
             if (f >= n_fams) break;
-            keys.clear();
             long long m0 = fam_first[(size_t)f];
             long long m1 = fam_first[(size_t)f + 1];
+            long long maxkey = 0;
+            long long nbases = 0;
             for (long long m = m0; m < m1; ++m) {
                 long long lo = member_starts[m];
                 long long hi = lo + base_counts[m];
-                for (long long i = lo; i < hi; ++i)
-                    keys.push_back(
-                        ((long long)all_pos[i] << 8)
-                        | (all_mask[i] & 0xFF));
+                nbases += hi - lo;
+                for (long long i = lo; i < hi; ++i) {
+                    long long k = ((long long)all_pos[i] << 4)
+                                  | (all_mask[i] & 0xF);
+                    if (k > maxkey) maxkey = k;
+                }
             }
-            // unique nodes (sorted by (pos, mask) = topological)
-            std::vector<long long> uniq(keys);
+            if ((long long)stamp.size() <= maxkey) {
+                stamp.assign((size_t)maxkey + 1, -1);
+                id_of.resize((size_t)maxkey + 1);
+                epoch = 0;
+            }
+            ++epoch;
+            uniq.clear();
+            for (long long m = m0; m < m1; ++m) {
+                long long lo = member_starts[m];
+                long long hi = lo + base_counts[m];
+                for (long long i = lo; i < hi; ++i) {
+                    long long k = ((long long)all_pos[i] << 4)
+                                  | (all_mask[i] & 0xF);
+                    if (stamp[(size_t)k] != epoch) {
+                        stamp[(size_t)k] = epoch;
+                        uniq.push_back(k);
+                    }
+                }
+            }
             std::sort(uniq.begin(), uniq.end());
-            uniq.erase(std::unique(uniq.begin(), uniq.end()),
-                       uniq.end());
             long long n = (long long)uniq.size();
             long long off = node_offsets[f];
             if (off + n > node_offsets[f + 1]) {
                 err.store(1);
                 return;
             }
-            node_of.assign(keys.size(), 0);
-            std::vector<int> cnt((size_t)n, 0);
-            for (size_t i = 0; i < keys.size(); ++i) {
-                long long id = (long long)(
-                    std::lower_bound(uniq.begin(), uniq.end(),
-                                     keys[i]) - uniq.begin());
-                node_of[i] = (int)id;
-                ++cnt[(size_t)id];
+            for (long long j = 0; j < n; ++j) {
+                id_of[(size_t)uniq[(size_t)j]] = (int)j;
+                out_pos[off + j] = (int)(uniq[(size_t)j] >> 4);
+                out_mask[off + j] =
+                    (unsigned char)(uniq[(size_t)j] & 0xF);
+                out_count[off + j] = 0;
+                for (long p = 0; p < P; ++p)
+                    out_preds[(off + j) * P + p] = -1;
             }
-            // edges: consecutive bases within each member
-            ekeys.clear();
+            node_of.resize((size_t)nbases);
+            {
+                size_t b = 0;
+                for (long long m = m0; m < m1; ++m) {
+                    long long lo = member_starts[m];
+                    long long hi = lo + base_counts[m];
+                    for (long long i = lo; i < hi; ++i, ++b) {
+                        long long k =
+                            ((long long)all_pos[i] << 4)
+                            | (all_mask[i] & 0xF);
+                        int id = id_of[(size_t)k];
+                        node_of[b] = id;
+                        ++out_count[off + id];
+                    }
+                }
+            }
+            has_succ.assign((size_t)n, 0);
+            minnext.assign((size_t)n, INT32_MAX);
+            npred.assign((size_t)n, 0);
             {
                 size_t base = 0;
                 for (long long m = m0; m < m1; ++m) {
                     long long len = base_counts[m];
                     for (long long i = 1; i < len; ++i) {
-                        long long s = node_of[base + i - 1];
-                        long long d = node_of[base + i];
-                        ekeys.push_back(d * n + s);
+                        int s = node_of[base + i - 1];
+                        int d = node_of[base + i];
+                        // ascending unique insert, keep lowest P
+                        int* slots = out_preds + (off + d) * P;
+                        int& np = npred[(size_t)d];
+                        int lim = np < (int)P ? np : (int)P;
+                        int q = 0;
+                        while (q < lim && slots[q] < s) ++q;
+                        if (q < lim && slots[q] == s) {
+                            // duplicate edge: nothing new
+                        } else {
+                            for (int r = (lim < (int)P ? lim
+                                                       : (int)P - 1);
+                                 r > q; --r)
+                                slots[r] = slots[r - 1];
+                            if (q < (int)P) slots[q] = s;
+                            ++np;
+                        }
+                        has_succ[(size_t)s] = 1;
+                        int dpos = out_pos[off + d];
+                        if (dpos < minnext[(size_t)s])
+                            minnext[(size_t)s] = dpos;
                     }
                     base += (size_t)len;
                 }
             }
-            std::sort(ekeys.begin(), ekeys.end());
-            ekeys.erase(
-                std::unique(ekeys.begin(), ekeys.end()),
-                ekeys.end());
-            // outputs
-            std::vector<unsigned char> has_succ((size_t)n, 0);
-            std::vector<int> minnext((size_t)n, INT32_MAX);
-            std::vector<int> npred((size_t)n, 0);
             for (long long j = 0; j < n; ++j) {
-                out_pos[off + j] = (int)(uniq[(size_t)j] >> 8);
-                out_mask[off + j] =
-                    (unsigned char)(uniq[(size_t)j] & 0xFF);
-                out_count[off + j] = cnt[(size_t)j];
-                for (long p = 0; p < P; ++p)
-                    out_preds[(off + j) * P + p] = -1;
-            }
-            for (size_t e = 0; e < ekeys.size(); ++e) {
-                long long d = ekeys[e] / n;
-                long long s = ekeys[e] % n;
-                int& np = npred[(size_t)d];
-                if (np < P)
-                    out_preds[(off + d) * P + np] = (int)s;
-                ++np;
-                has_succ[(size_t)s] = 1;
-                int dpos = (int)(uniq[(size_t)d] >> 8);
-                if (dpos < minnext[(size_t)s])
-                    minnext[(size_t)s] = dpos;
-            }
-            for (long long j = 0; j < n; ++j) {
-                int pos_j = (int)(uniq[(size_t)j] >> 8);
+                int pos_j = out_pos[off + j];
                 out_flags[off + j] = (unsigned char)(
                     (npred[(size_t)j] == 0 ? 1 : 0)
                     | (has_succ[(size_t)j] ? 0 : 2));

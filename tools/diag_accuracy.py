@@ -6,6 +6,8 @@ bucket sps/cpm losses by query.  Usage:
 
 import argparse
 import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 

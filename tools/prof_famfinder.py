@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import time
 
 sys.stdout.reconfigure(line_buffering=True)
