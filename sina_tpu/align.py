@@ -86,14 +86,16 @@ class AlignerConfig:
     # unaffected.  --no-col-trim disables.
     col_trim: bool = True
     # trim engages only when the family's full occupied-column count
-    # is at least this large.  Window anchoring + profile window
-    # slicing cost ~1-2 ms/seq of HOST wall (the binding resource on
-    # small hosts) plus extra kernel shape classes; a hardware A/B at
-    # C~1736 (2k-ref amplicon bench) measured trim-on at 137 seq/s vs
-    # trim-off 278 — the saved device columns only outweigh the host
-    # cost on wide lattices (SILVA-width families).  Tests force the
-    # trim path with col_trim_min_cols=0.
-    col_trim_min_cols: int = 4096
+    # is at least this large.  Window anchoring costs host wall and
+    # extra kernel shape classes, so tiny lattices skip it; above
+    # ~1024 columns the saved device columns win: since the exact
+    # in-window rank counts landed (r4, sina_count_cols_range) the
+    # 2k-ref amplicon bench windows bucket at 512 instead of 1024
+    # and the hardware A/B measured trim-on 470.4 vs trim-off 355.0
+    # seq/s at C~1736 (r3's 137-vs-278 regression was the loose
+    # whole-db estimate bucketing at 1024).  Tests force the trim
+    # path with col_trim_min_cols=0.
+    col_trim_min_cols: int = 1024
 
     def resolved_engine(self) -> str:
         if self.fs_no_graph:
@@ -649,11 +651,7 @@ def _dispatch_graph_bucket(
     import jax
     import jax.numpy as jnp
 
-    from .ops.graph import pad_graph
-
     tg = get_timer("GraphDP")
-    with tg.section("pad"):
-        g_list = [pad_graph(it[2], npad) for it in items]
     wmax = max(len(it[3]) for it in items)
     cw_pad = np.ones((len(items), wmax), dtype=np.float32)
     qm = np.zeros((len(items), mpad), dtype=np.int32)
@@ -665,11 +663,6 @@ def _dispatch_graph_bucket(
         ql[b] = len(q.masks)
         nr[b] = graph.n_nodes
         cw_pad[b, : len(cw)] = cw
-    max_ins = None
-    if cfg.insertion == INSERTION_FORBID:
-        max_ins = jnp.asarray(
-            np.stack([g.max_insert for g in g_list])
-        )
     subst = None
     if cfg.use_subst_matrix:
         # experimental matrix scheme: per-family log-odds matrix from
@@ -689,28 +682,52 @@ def _dispatch_graph_bucket(
         for it in items:
             it[5].append(f"using dist: {float(it[7]):.6g};")
     with tg.section("stack"):
-        preds_all = np.stack([g.preds for g in g_list])
-        # sliding-window DP core when every pred is nearby in topo
-        # order (always true for MSA-derived POA graphs in practice)
-        valid = preds_all >= 0
-        node_ids = np.arange(preds_all.shape[1])[None, :, None]
-        dists = np.where(valid, node_ids - preds_all, 0)
-        maxd = int(dists.max()) if valid.any() else 0
+        # batch node planes filled straight from each COMPACT graph
+        # (padding semantics of ops.graph.pad_graph inlined: isolated
+        # non-start non-end nodes at the final column).  The previous
+        # pad_graph-then-np.stack route copied every plane twice and
+        # built a (B, npad, P) int64 distance tensor just for maxd —
+        # ~0.4s/batch of host wall on the 2-core bench host.
+        B = len(items)
+        width0 = items[0][2].width
+        P = max(it[2].preds.shape[1] for it in items)
+        pos_s = np.full((B, npad), width0 - 1, np.int32)
+        mask_s = np.zeros((B, npad), np.int32)
+        weight_s = np.zeros((B, npad), np.float32)
+        preds_s = np.full((B, npad, P), -1, np.int32)
+        start_s = np.zeros((B, npad), bool)
+        end_s = np.zeros((B, npad), bool)
+        need_budget = cfg.insertion == INSERTION_FORBID
+        maxi_s = (
+            np.zeros((B, npad), np.int32) if need_budget else None
+        )
+        maxd = 0
+        for b, it in enumerate(items):
+            g = it[2]
+            n = g.n_nodes
+            pos_s[b, :n] = g.pos
+            mask_s[b, :n] = g.mask
+            weight_s[b, :n] = g.weight
+            preds_s[b, :n, : g.preds.shape[1]] = g.preds
+            start_s[b, :n] = g.is_start
+            end_s[b, :n] = g.is_end
+            if maxi_s is not None:
+                maxi_s[b, :n] = g.max_insert
+            # sliding-window DP core when every pred is nearby in
+            # topo order (always true for MSA-derived POA graphs)
+            v = g.preds >= 0
+            if v.any():
+                d = (
+                    np.arange(n, dtype=np.int32)[:, None] - g.preds
+                )[v].max()
+                maxd = max(maxd, int(d))
         window = 32 if 0 < maxd < 32 else None
         stacks = (
-            np.stack([g.pos for g in g_list]),
-            np.stack([g.mask.astype(np.int32) for g in g_list]),
-            np.stack([g.weight for g in g_list]),
-            preds_all,
-            np.stack([g.is_start for g in g_list]),
-            np.stack([g.is_end for g in g_list]),
+            pos_s, mask_s, weight_s, preds_s, start_s, end_s,
             qm, ql, nr, cw_pad,
         )
-    budget = (
-        np.stack([g.max_insert for g in g_list])
-        if max_ins is not None
-        else None
-    )
+    budget = maxi_s
+    max_ins = jnp.asarray(maxi_s) if maxi_s is not None else None
     use_pallas = (
         window is not None
         and jax.default_backend() in ("tpu", "axon")

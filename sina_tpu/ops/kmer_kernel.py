@@ -426,7 +426,6 @@ def _twolevel_exact(Pp, kmers, cand, k_top: int, chunk: int = 32):
     """Exact per-sequence scores restricted to candidate byte groups:
     gathers Pp[kmer[b,l], cand[b,c]] in L-chunks, unpacks, sums."""
     B, L = kmers.shape
-    Sb = Pp.shape[1]
     C = cand.shape[1]
     pad = (-L) % chunk
     kmers = jnp.pad(
@@ -434,15 +433,13 @@ def _twolevel_exact(Pp, kmers, cand, k_top: int, chunk: int = 32):
     )
     nchunks = (L + pad) // chunk
     kc = kmers.reshape(B, nchunks, chunk).transpose(1, 0, 2)
-    flat = Pp.reshape(-1)
     bitw = jnp.arange(8, dtype=jnp.uint8)
 
     def step(acc, kk):
-        # (B, chunk, C) byte gather
-        idx = kk[:, :, None] * Sb + cand[:, None, :]
-        g = jnp.take(flat, idx.reshape(B, -1), axis=0).reshape(
-            B, -1, C
-        )
+        # (B, chunk, C) byte gather via 2D advanced indexing — a
+        # flattened row*Sb+col index overflows int32 above ~170k
+        # refs (262145 rows x Sb bytes > 2^31)
+        g = Pp[kk[:, :, None], cand[:, None, :]]
         bits = (g[..., None] >> bitw) & jnp.uint8(1)
         return acc + bits.astype(jnp.int32).sum(axis=1), None
 
