@@ -77,6 +77,10 @@ class AlignerConfig:
     # dump each family graph to a .dot file (--debug-graph; the
     # reference's mesh_debug SVG equivalent, mesh_debug.h)
     debug_graph: bool = False
+    # "FROM:TO" alignment-column range: dump the full DP lattice of
+    # that region per query to lattice_<name>.dot (--debug-lattice;
+    # mesh_to_svg, mesh_debug.h:103-193)
+    debug_lattice: str = ""
     # "profile" (pseq chain DP, the TPU-native default), "graph"
     # (mseq DAG DP, the reference's default), or "auto" (= profile)
     engine: str = "auto"
@@ -485,6 +489,21 @@ def align_dispatch(
                 with open(fname, "w") as fh:
                     fh.write(graph_to_dot(it[2]))
                 logger.info("wrote %s", fname)
+
+    if todo and cfg.debug_lattice:
+        from .debug_dump import dump_lattice
+
+        lo, _, hi = cfg.debug_lattice.partition(":")
+        col_from = int(lo) if lo else 0
+        col_to = int(hi) if hi else None
+        for it in todo:
+            name = queries[it[0]].name or it[0]
+            fname = f"lattice_{name}.dot"
+            dump_lattice(
+                it[1], [(0.0, r) for r in it[4]], fname,
+                col_from, col_to, cfg.dp_params(), cfg.fs_weight,
+            )
+            logger.info("wrote %s", fname)
 
     if todo and engine != "graph":
         with get_timer("Aligner").section("count cols"):

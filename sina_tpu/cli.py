@@ -146,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--debug-graph", action="store_true",
                    help="dump reference graphs to .dot files "
                    "(graph engine)")
+    g.add_argument("--debug-lattice", metavar="FROM:TO", default="",
+                   help="dump the DP lattice region of alignment "
+                   "columns [FROM, TO) per query to "
+                   "lattice_<name>.dot (cell values, gap tracks, "
+                   "backpointer edges; small regions only)")
 
     g = p.add_argument_group("Reference Selection")
     g.add_argument("--fs-engine", default="internal",
@@ -385,6 +390,7 @@ def config_from_args(args) -> PipelineConfig:
         fs_no_graph=args.fs_no_graph,
         use_subst_matrix=args.use_subst_matrix,
         debug_graph=args.debug_graph,
+        debug_lattice=args.debug_lattice,
         engine="graph" if args.fs_graph else "auto",
         col_trim=not args.no_col_trim,
         col_trim_min_cols=args.col_trim_min_cols,

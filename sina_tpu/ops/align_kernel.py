@@ -403,7 +403,9 @@ def poa_dp_costs_windowed(
     return BP, best_j, best_i, raw
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "m_len"))
+@functools.partial(
+    jax.jit, static_argnames=("n_nodes", "m_len", "return_lattice")
+)
 def poa_dp_costs(
     sub,           # (N, M) f32 substitution cost per (node, base)
     del_open,      # (N,) f32 deletion-open cost at node
@@ -418,9 +420,12 @@ def poa_dp_costs(
     n_nodes: int,
     m_len: int,
     ins_budget=None,  # (N,) int32 bounded insertions (forbid mode)
+    return_lattice: bool = False,
 ):
     """Cost-parameterised DP core shared by graph (mseq) and profile
-    (pseq) modes.  Returns (bp (N, M) uint16, best_j, best_i, raw)."""
+    (pseq) modes.  Returns (bp (N, M) uint16, best_j, best_i, raw);
+    with return_lattice also the final V and D (N, M) value planes
+    (the --debug-lattice dump, mesh_debug.h:103-193's mesh data)."""
     N, M = n_nodes, m_len
     P = preds.shape[1]
 
@@ -535,6 +540,8 @@ def poa_dp_costs(
     best_j = jnp.where(use2, j2, j1)
     best_i = jnp.where(use2, i2, qlen - 1)
     raw = jnp.where(use2, v2, v1)
+    if return_lattice:
+        return BP, best_j, best_i, raw, Vm, D[1:]
     return BP, best_j, best_i, raw
 
 
