@@ -158,7 +158,18 @@ class FamFinder:
                     self._mesh, jnp.asarray(P)
                 )
             else:
-                self._P = self.index.device_matrix()
+                import os
+
+                # the two-level scorer's byte prefilter + element
+                # gather need the 2D byte layout; the default tiled
+                # (R, 32, W) form is the exact-size fast path
+                self._P = self.index.device_matrix(
+                    tiled=(
+                        False
+                        if os.environ.get("SINA_TPU_TWOLEVEL") == "1"
+                        else None
+                    )
+                )
         return self._P
 
     @staticmethod

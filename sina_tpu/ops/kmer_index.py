@@ -198,15 +198,51 @@ class KmerIndex:
             self._packed = P
         return self._packed
 
-    def device_matrix(self, packed: bool = True):
+    def dense_packed_tiled(self) -> np.ndarray:
+        """(n_rows+1, 32, W) uint8 row-major view of dense_packed()
+        with the byte axis padded to a 4096 multiple (W = Sb4/32).
+
+        The TPU u8 tile is (32, 128) sublanes x lanes; with the
+        sublane dim exactly 32 and W a multiple of 128 the HBM
+        layout is EXACT-SIZE and each k-mer row is one contiguous
+        run of 32*W bytes.  The old (R, 1, Sb) kernel view forced a
+        T(4,128)(4,1) layout that padded the size-1 dim 4x — 59GB
+        for the 14.7GB SILVA-NR index (the r4 single-chip OOM) and
+        ~4x the DMA bytes per row."""
+        P = self.dense_packed()
+        Sb = P.shape[1]
+        Sb4 = -(-max(Sb, 4096) // 4096) * 4096
+        if Sb4 != Sb:
+            P = np.pad(P, ((0, 0), (0, Sb4 - Sb)))
+        return np.ascontiguousarray(P).reshape(
+            P.shape[0], 32, Sb4 // 32
+        )
+
+    def device_matrix(
+        self, packed: bool = True, tiled: bool | None = None
+    ):
         """Incidence matrix as a jax array (cached); bitpacked by
-        default."""
+        default.  On TPU backends the packed matrix ships in the
+        exact-size tiled (R, 32, W) layout (dense_packed_tiled);
+        elsewhere as the plain (R, Sb) byte matrix.  `tiled`
+        overrides the backend default (the two-level scorer needs
+        the 2D form)."""
+        import jax
         import jax.numpy as jnp
 
         if not isinstance(self._device, dict):
             self._device = {}
-        if packed not in self._device:
-            self._device[packed] = jnp.asarray(
-                self.dense_packed() if packed else self.dense()
+        if tiled is None:
+            tiled = packed and jax.default_backend() in (
+                "tpu", "axon"
             )
-        return self._device[packed]
+        key = (packed, tiled)
+        if key not in self._device:
+            if packed and tiled:
+                arr = self.dense_packed_tiled()
+            elif packed:
+                arr = self.dense_packed()
+            else:
+                arr = self.dense()
+            self._device[key] = jnp.asarray(arr)
+        return self._device[key]

@@ -252,6 +252,91 @@ def kmer_scores_packed_pallas(Pp, kmers, interpret: bool = False):
     return out.transpose(0, 2, 1).reshape(B, Sb * 8)
 
 
+def _pallas_kernel_tiled(kmer_ref, *refs):
+    from jax.experimental import pallas as pl
+
+    rows = refs[:_KMER_G]
+    out_ref = refs[_KMER_G]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    us = [r[0].astype(jnp.int32) for r in rows]      # (32, W)
+    for bit in range(8):
+        acc = (us[0] >> bit) & 1
+        for u in us[1:]:
+            acc += (u >> bit) & 1
+        out_ref[0, bit] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kmer_scores_packed_tiled_pallas(P3, kmers, interpret=False):
+    """TPU path over the exact-size tiled matrix
+    (KmerIndex.dense_packed_tiled): P3 (R, 32, W) u8, W % 128 == 0.
+    Each grid step DMAs G full (32, W) row blocks — contiguous
+    32*W-byte runs, no layout padding (the (R, 1, Sb) view's
+    T(4,128)(4,1) layout 4x'd both HBM bytes and DMA traffic).
+    Returns logical scores (B, 32*W*8) int32: seq id of (sub, lane,
+    bit) = (sub*W + lane)*8 + bit, matching dense_packed byte
+    order."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L = kmers.shape
+    G = _KMER_G
+    pad = (-L) % G
+    if pad:
+        kmers = jnp.pad(
+            kmers, ((0, 0), (0, pad)),
+            constant_values=P3.shape[0] - 1,
+        )
+        L += pad
+    W = P3.shape[2]
+
+    def mk_index(g):
+        return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
+
+    bk = _batch_chunks(B, L)
+    outs = []
+    for s in range(0, B, bk):
+        kc = jax.lax.dynamic_slice_in_dim(kmers, s, bk, 0) if (
+            s + bk <= B
+        ) else jnp.pad(
+            kmers[s:], ((0, s + bk - B), (0, 0)),
+            constant_values=P3.shape[0] - 1,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bk, L // G),
+            in_specs=[
+                pl.BlockSpec((1, 32, W), mk_index(g))
+                for g in range(G)
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 32, W), lambda b, l, kref: (b, 0, 0, 0)
+            ),
+        )
+        outs.append(
+            pl.pallas_call(
+                _pallas_kernel_tiled,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (bk, 8, 32, W), jnp.int32
+                ),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary", "arbitrary"),
+                ),
+                interpret=interpret,
+            )(kc, *([P3] * G))
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+    out = out[:B]
+    # (b, bit, sub, lane) -> seq id = (sub*W + lane)*8 + bit
+    return out.transpose(0, 2, 3, 1).reshape(B, 32 * W * 8)
+
+
 def _popcount_u8_i32(x):
     """SWAR popcount of an int32 holding a byte value (0..255):
     6 VPU ops vs the 24 of a full 8-bit unpack-sum."""
@@ -479,16 +564,25 @@ def _pallas_failed(exc: Exception) -> None:
 
 
 def kmer_scores(P, kmers):
-    """Dispatch on matrix layout (uint8 = bitpacked, int8 = dense)
-    and backend (Pallas on TPU, XLA elsewhere)."""
+    """Dispatch on matrix layout (3D uint8 = tiled bitpacked, 2D
+    uint8 = bitpacked, int8 = dense) and backend (Pallas on TPU,
+    XLA elsewhere)."""
     packed = P.dtype == jnp.uint8
+    tiled = packed and P.ndim == 3
     if jax.default_backend() in ("tpu", "axon"):
         try:
+            if tiled:
+                return kmer_scores_packed_tiled_pallas(P, kmers)
             if packed:
                 return kmer_scores_packed_pallas(P, kmers)
             return kmer_scores_pallas(P, kmers)
         except Exception as exc:  # pragma: no cover - fallback safety
             _pallas_failed(exc)
+    if tiled:
+        # logical byte order of the tiled view equals dense_packed's
+        return kmer_scores_packed_xla(
+            P.reshape(P.shape[0], -1), kmers
+        )
     if packed:
         return kmer_scores_packed_xla(P, kmers)
     return kmer_scores_xla(P, kmers)

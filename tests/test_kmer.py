@@ -173,3 +173,46 @@ def test_pallas_kmer_batch_chunking(monkeypatch):
         kk.kmer_scores_packed_xla(jnp.asarray(Pp), jnp.asarray(kmers))
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_layout_matches_packed_scores():
+    """The exact-size tiled (R, 32, W) matrix must score identically
+    to the 2D packed matrix in logical sequence order — via the XLA
+    reshape fallback AND the tiled Pallas kernel (interpret)."""
+    import numpy as np
+
+    from sina_tpu import testing
+    from sina_tpu.ops import kmer_kernel as kk
+    from sina_tpu.ops.kmer import query_kmers_padded
+    from sina_tpu.ops.kmer_index import KmerIndex
+
+    db = testing.make_reference(
+        n_seqs=300, n_core=200, width=360, seed=21
+    )
+    idx = KmerIndex.build(db, k=6, fast=False)
+    P2 = idx.dense_packed()
+    P3 = idx.dense_packed_tiled()
+    assert P3.shape[1] == 32 and P3.shape[2] % 128 == 0
+    # tiled is a row-major view of the (padded) packed bytes
+    np.testing.assert_array_equal(
+        P3.reshape(P3.shape[0], -1)[:, : P2.shape[1]], P2
+    )
+    queries = [
+        testing.unaligned_copy(q)
+        for q in testing.make_queries(db, n=8, seed=2)
+    ]
+    kmers, _ = query_kmers_padded(
+        [q.masks for q in queries], 6, fast=False, pad_to=64
+    )
+    ref = np.asarray(kk.kmer_scores_packed_xla(P2, kmers))
+    S = ref.shape[1]
+    got_xla = np.asarray(
+        kk.kmer_scores_packed_xla(P3.reshape(P3.shape[0], -1), kmers)
+    )
+    np.testing.assert_array_equal(got_xla[:, :S], ref)
+    assert (got_xla[:, S:] == 0).all()
+    got_pl = np.asarray(
+        kk.kmer_scores_packed_tiled_pallas(P3, kmers, interpret=True)
+    )
+    np.testing.assert_array_equal(got_pl[:, :S], ref)
+    assert (got_pl[:, S:] == 0).all()

@@ -94,6 +94,26 @@ def main() -> int:
         bytes_read = args.batch * args.kmer_l * Sb
         print(f"  -> effective {bytes_read/sc/1e9:.1f} GB/s "
               f"(rows DMA'd: {args.batch*args.kmer_l})")
+        # exact-size tiled layout (dense_packed_tiled shape)
+        Sb4 = -(-Sb // 4096) * 4096
+        P3 = jnp.pad(P, ((0, 0), (0, Sb4 - Sb))).reshape(
+            n_rows, 32, Sb4 // 32
+        )
+        jax.block_until_ready(P3)
+        sct = timeit(
+            "pallas TILED score", kk.kmer_scores_packed_tiled_pallas,
+            P3, kmers,
+        )
+        bytes_read = args.batch * args.kmer_l * Sb4
+        print(f"  -> effective {bytes_read/sct/1e9:.1f} GB/s "
+              f"(tiled rows: {args.batch*args.kmer_l})")
+        tk = jax.jit(lambda s: kk.grouped_top_k(s, args.topk))
+        def fused_tiled(P3, kmers):
+            s = kk.kmer_scores_packed_tiled_pallas(P3, kmers)
+            v, i = kk.grouped_top_k(s, args.topk)
+            return jnp.concatenate([v, i], axis=1)
+        timeit("fused TILED score+grouped_topk",
+               jax.jit(fused_tiled), P3, kmers)
 
     scores = kk.kmer_scores_packed_pallas(P, kmers)
     jax.block_until_ready(scores)
