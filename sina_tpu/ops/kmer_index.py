@@ -233,8 +233,13 @@ class KmerIndex:
         if not isinstance(self._device, dict):
             self._device = {}
         if tiled is None:
-            tiled = packed and jax.default_backend() in (
-                "tpu", "axon"
+            # below 32k refs the tiled form's 4096-byte row floor
+            # would INFLATE the matrix (2k refs: 256 -> 4096 B/row);
+            # the (R, 1, Sb) view's 4x pad is noise at those sizes
+            tiled = (
+                packed
+                and jax.default_backend() in ("tpu", "axon")
+                and -(-max(self.n_seqs, 1) // 1024) * 1024 >= 32768
             )
         key = (packed, tiled)
         if key not in self._device:
