@@ -237,6 +237,11 @@ def main() -> int:
     prewarm_row_buckets(args.batch_size)
     mark_warmup_done()
     t_warm = time.time() - t0
+    # timers below report the STEADY STATE only (warmup compiles
+    # used to dominate every section and made attribution useless)
+    from sina_tpu.timing import reset_all
+
+    reset_all()
 
     # timed steady state: 3-deep software pipeline (famfinder N+1
     # queued, DP N in flight, host finishing N-1) as in pipeline.run

@@ -318,6 +318,77 @@ def _count_cols_range_batch(
     return None
 
 
+def _trim_windows_native(cand, pend) -> list:
+    """Batched native anchoring for the flat-store items of `cand`
+    (sina_query_windows; semantics of ops/colspan.query_window —
+    the per-query python loop cost ~0.45 ms/query of host wall at
+    amplicon batch shapes).  Appends [item, lo, hi, est, True] rows
+    to `pend` and returns the items the caller must still anchor in
+    python (no flat store / native lib unavailable)."""
+    from . import native
+    from .ops.colspan import _K, RefAnchorTable
+
+    if native.get_lib() is None:
+        return cand
+    items = []
+    rest = []
+    for it in cand:
+        top = it[4][0]
+        if (
+            getattr(top, "_flat_ref", None) is not None
+            and _db_occupied_cols(top) is not None
+        ):
+            items.append(it)
+        else:
+            rest.append(it)
+    if not items:
+        return rest
+    cols = _db_occupied_cols(items[0][4][0])
+    tops: dict[int, int] = {}
+    tables: list[tuple] = []  # (vals, pos, n_bases, positions)
+    qtable = np.empty(len(items), np.int64)
+    for i, it in enumerate(items):
+        top = it[4][0]
+        ti = tops.get(id(top))
+        if ti is None:
+            table = _anchor_cache.get(
+                top, lambda t: RefAnchorTable(t.masks)
+            )
+            ti = tops[id(top)] = len(tables)
+            tables.append(
+                (table.vals, table.pos, table.n_bases,
+                 top.positions)
+            )
+        qtable[i] = ti
+    tbl_offsets = np.zeros(len(tables) + 1, np.int64)
+    np.cumsum([len(t[0]) for t in tables], out=tbl_offsets[1:])
+    rpos_offsets = np.zeros(len(tables) + 1, np.int64)
+    np.cumsum([len(t[3]) for t in tables], out=rpos_offsets[1:])
+    qoffsets = np.zeros(len(items) + 1, np.int64)
+    np.cumsum(
+        [len(it[1].masks) for it in items], out=qoffsets[1:]
+    )
+    wins = native.query_windows(
+        np.concatenate([it[1].masks for it in items]),
+        qoffsets,
+        np.concatenate([t[0] for t in tables]),
+        np.concatenate([t[1] for t in tables]),
+        tbl_offsets,
+        np.array([t[2] for t in tables], np.int64),
+        np.concatenate([t[3] for t in tables]),
+        rpos_offsets,
+        qtable, cols, _K,
+    )
+    if wins is None:
+        return cand
+    for it, row in zip(items, wins):
+        if row[0] >= 0:
+            pend.append(
+                [it, int(row[0]), int(row[1]), int(row[2]), True]
+            )
+    return rest
+
+
 def _trim_windows(todo, min_cols: int = 0) -> None:
     """Shrink each profile-engine item's DP lattice to the query's
     anchored column window (ops/colspan.py).  Engages only when the
@@ -331,16 +402,21 @@ def _trim_windows(todo, min_cols: int = 0) -> None:
     from .ops.colspan import SNAP_GRID, RefAnchorTable, query_window
 
     fam_cols_cache: dict[tuple, np.ndarray] = {}
+    # candidate items past the cheap gates: narrow lattices aren't
+    # worth the host anchoring cost (see AlignerConfig.
+    # col_trim_min_cols); full-length queries can't save >25%
+    cand = [
+        it
+        for it in todo
+        if it[6] >= min_cols and 2 * len(it[1].masks) < it[6]
+    ]
+    if not cand:
+        return
     # [item, lo_col, hi_col, est, db_ranked]
     pend: list[list] = []
-    for it in todo:
-        C = it[6]
+    rest = _trim_windows_native(cand, pend)
+    for it in rest:
         q = it[1]
-        # narrow lattices aren't worth the host anchoring cost (see
-        # AlignerConfig.col_trim_min_cols); full-length queries can't
-        # save >25%; both skip at zero cost
-        if C < min_cols or 2 * len(q.masks) >= C:
-            continue
         refs = it[4]
         top = refs[0]
         db_cols = _db_occupied_cols(top)

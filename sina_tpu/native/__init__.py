@@ -147,6 +147,23 @@ def _bind(lib):
         ctypes.c_long, ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_query_windows.restype = ctypes.c_long
+    lib.sina_query_windows.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long, ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+    ]
     lib.sina_score_counts.restype = ctypes.c_long
     lib.sina_score_counts.argtypes = [
         np.ctypeslib.ndpointer(np.uint32),
@@ -367,6 +384,39 @@ def count_cols(
     if rc != 0:
         return None
     return out
+
+
+def query_windows(
+    qmasks, qoffsets, tbl_vals, tbl_pos, tbl_offsets, tbl_nbases,
+    rpos_flat, rpos_offsets, qtable, cols, k: int,
+):
+    """Batched native query_window (ops/colspan.py semantics):
+    returns (B, 3) int64 [lo_col, hi_col, est_ranks] with -1 rows
+    for unanchored queries, or None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(qoffsets) - 1
+    out = np.empty(B * 3, np.int64)
+    rc = lib.sina_query_windows(
+        np.ascontiguousarray(qmasks, np.uint8),
+        np.ascontiguousarray(qoffsets, np.int64),
+        B,
+        np.ascontiguousarray(tbl_vals, np.int64),
+        np.ascontiguousarray(tbl_pos, np.int64),
+        np.ascontiguousarray(tbl_offsets, np.int64),
+        np.ascontiguousarray(tbl_nbases, np.int64),
+        np.ascontiguousarray(rpos_flat, np.uint32),
+        np.ascontiguousarray(rpos_offsets, np.int64),
+        np.ascontiguousarray(qtable, np.int64),
+        np.ascontiguousarray(cols, np.int64),
+        len(cols), k,
+        out, _n_threads(),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(B, 3)
 
 
 def count_cols_range(

@@ -370,6 +370,170 @@ long sina_count_cols_range(
     return 0;
 }
 
+// Batched query column-window anchoring (the native core of
+// ops/colspan.query_window; see that module for the full
+// derivation).  Per query: extract valid 12-mers, probe the top
+// reference's sorted k-mer table, build the diagonal-consensus
+// anchor set (all occurrences per matched k-mer, capped), take the
+// median offset, drop outliers beyond the indel budget, widen the
+// base window by the slack terms and convert to raw columns plus
+// occupied-rank edge slack.  The python loop cost ~0.45 ms/query
+// of host wall at amplicon batch shapes — pure small-numpy call
+// overhead.
+//
+//   qmasks/qoffsets        flat query masks (B queries)
+//   tbl_vals/tbl_pos       concatenated sorted tables (int64 kmer
+//                          values / int64 base positions)
+//   tbl_offsets[(T+1)]     table t = tbl_*[tbl_offsets[t] : t+1]
+//   tbl_nbases[T]          top reference base counts
+//   rpos_flat/rpos_offsets top reference per-base columns (uint32)
+//   qtable[B]              table index per query (-1 = skip)
+//   cols[n_cols]           ascending occupied columns (whole db)
+//   out[B*3]               lo_col, hi_col, est ranks (-1 = no window)
+long sina_query_windows(
+    const unsigned char* qmasks, const long long* qoffsets,
+    long B,
+    const long long* tbl_vals, const long long* tbl_pos,
+    const long long* tbl_offsets, const long long* tbl_nbases,
+    const unsigned int* rpos_flat, const long long* rpos_offsets,
+    const long long* qtable,
+    const long long* cols, long n_cols,
+    long k,
+    long long* out, long n_threads) {
+    const long MIN_ANCHORS = 3;
+    const long MAX_OCC = 4;
+    const double DIAG_SLACK_FRAC = 0.25;
+    const long DIAG_SLACK_MIN = 100;
+    const double BASE_SLACK_FRAC = 0.08;
+    const long BASE_SLACK_MIN = 24;
+    const long EDGE_SLACK_COLS = 32;
+    std::atomic<long> next(0);
+    auto worker = [&]() {
+        std::vector<long long> qv, qp, rp, qpm, off;
+        for (;;) {
+            long b = next.fetch_add(1);
+            if (b >= B) break;
+            out[b * 3] = -1;
+            out[b * 3 + 1] = -1;
+            out[b * 3 + 2] = -1;
+            long t = (long)qtable[b];
+            if (t < 0) continue;
+            long long qlo = qoffsets[b], qhi = qoffsets[b + 1];
+            long long qlen = qhi - qlo;
+            if (qlen < k) continue;
+            // valid k-mers: windows of unambiguous bases
+            qv.clear(); qp.clear();
+            long long val = 0, run = 0;
+            const long long mask_k =
+                ((long long)1 << (2 * k)) - 1;
+            for (long long i = 0; i < qlen; ++i) {
+                unsigned m = qmasks[qlo + i] & 0xF;
+                if (m && !(m & (m - 1))) {
+                    long idx = 0;
+                    while (!((m >> idx) & 1)) ++idx;
+                    val = ((val << 2) | idx) & mask_k;
+                    ++run;
+                } else {
+                    run = 0;
+                    val = 0;
+                }
+                if (run >= k) {
+                    qv.push_back(val);
+                    qp.push_back(i - k + 1);
+                }
+            }
+            if ((long)qv.size() < MIN_ANCHORS) continue;
+            const long long* tv = tbl_vals + tbl_offsets[t];
+            const long long* tp = tbl_pos + tbl_offsets[t];
+            long long tn = tbl_offsets[t + 1] - tbl_offsets[t];
+            rp.clear(); qpm.clear();
+            long matched = 0;
+            for (size_t i = 0; i < qv.size(); ++i) {
+                const long long* lo =
+                    std::lower_bound(tv, tv + tn, qv[i]);
+                const long long* hi =
+                    std::upper_bound(lo, tv + tn, qv[i]);
+                if (hi > lo) ++matched;
+                long long nocc = hi - lo;
+                if (nocc > MAX_OCC) nocc = MAX_OCC;
+                for (long long o = 0; o < nocc; ++o) {
+                    rp.push_back(tp[(lo - tv) + o]);
+                    qpm.push_back(qp[i]);
+                }
+            }
+            if (matched < MIN_ANCHORS) continue;
+            // median of offsets
+            off.assign(rp.size(), 0);
+            for (size_t i = 0; i < rp.size(); ++i)
+                off[i] = rp[i] - qpm[i];
+            std::vector<long long> tmp(off);
+            size_t nmid = tmp.size() / 2;
+            std::nth_element(tmp.begin(), tmp.begin() + nmid,
+                             tmp.end());
+            double med = (double)tmp[nmid];
+            if (tmp.size() % 2 == 0) {
+                long long lo2 = *std::max_element(
+                    tmp.begin(), tmp.begin() + nmid);
+                med = (med + (double)lo2) / 2.0;
+            }
+            long long slack = (long long)(DIAG_SLACK_FRAC * qlen);
+            if (slack < DIAG_SLACK_MIN) slack = DIAG_SLACK_MIN;
+            long kept = 0;
+            long long rp_min = 0, rp_max = 0;
+            long long qp_at_min = 0, qp_at_max = 0;
+            for (size_t i = 0; i < rp.size(); ++i) {
+                double d = (double)off[i] - med;
+                if (d < 0) d = -d;
+                if (d > (double)slack) continue;
+                if (kept == 0 || rp[i] < rp_min) {
+                    rp_min = rp[i];
+                    qp_at_min = qpm[i];
+                }
+                if (kept == 0 || rp[i] > rp_max) {
+                    rp_max = rp[i];
+                    qp_at_max = qpm[i];
+                }
+                ++kept;
+            }
+            if (kept < MIN_ANCHORS) continue;
+            long long base_slack =
+                (long long)(BASE_SLACK_FRAC * qlen) + BASE_SLACK_MIN;
+            long long lo_base = rp_min - qp_at_min - base_slack;
+            long long hi_base =
+                rp_max + (qlen - qp_at_max) + base_slack + k;
+            if (lo_base < 0) lo_base = 0;
+            long long nb = tbl_nbases[t];
+            if (hi_base > nb - 1) hi_base = nb - 1;
+            const unsigned int* rpos = rpos_flat + rpos_offsets[t];
+            long long lo_col = rpos[lo_base];
+            long long hi_col = rpos[hi_base];
+            long long rlo =
+                (long long)(std::lower_bound(cols, cols + n_cols,
+                                             lo_col) - cols)
+                - EDGE_SLACK_COLS;
+            long long rhi =
+                (long long)(std::upper_bound(cols, cols + n_cols,
+                                             hi_col) - cols)
+                + EDGE_SLACK_COLS;
+            if (rlo < 0) rlo = 0;
+            if (rhi > n_cols) rhi = n_cols;
+            if (rhi <= rlo) continue;
+            lo_col = cols[rlo];
+            hi_col = cols[rhi - 1] + 1;
+            out[b * 3] = lo_col;
+            out[b * 3 + 1] = hi_col;
+            out[b * 3 + 2] = rhi - rlo;
+        }
+    };
+    long nt = n_threads > 0 ? n_threads : 1;
+    if (nt > B) nt = B > 0 ? B : 1;
+    std::vector<std::thread> threads;
+    for (long tt = 1; tt < nt; ++tt) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
 // Batched comparator counts for the search stage
 // (cseq_comparator::traverse semantics, cseq_comparator.cpp:57-117):
 // for each candidate reference, count matches/shared columns against

@@ -72,3 +72,11 @@ def log_timers() -> None:
 
 
 atexit.register(log_timers)
+
+
+def reset_all() -> None:
+    """Zero every timer's accumulated sections (bench.py calls this
+    after warmup so tail timings attribute the steady state only)."""
+    for t in _registry.values():
+        t.sections.clear()
+        t.counts.clear()

@@ -284,3 +284,51 @@ def test_repeat_tolerant_anchoring():
     assert lo_col <= q_lo and hi_col >= q_hi - 1, (
         lo_col, hi_col, q_lo, q_hi,
     )
+
+
+def test_native_query_windows_parity():
+    """The native batched anchoring must reproduce the python
+    query_window for every query of a realistic batch (flat-store
+    path, the amplicon production configuration)."""
+    from sina_tpu.align import (
+        _anchor_cache, _db_occupied_cols, _trim_windows_native,
+    )
+    from sina_tpu.ops.colspan import RefAnchorTable, query_window
+    from sina_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    db = testing.make_reference(
+        n_seqs=400, n_core=900, width=1600, seed=77
+    )
+    db.ensure_flat()
+    full = testing.make_queries(db, n=48, seed=13, branch_len=0.6)
+    items = []
+    for i, qf in enumerate(full):
+        q = _amplicon(qf, 250, 500 + (i % 5) * 23)
+        refs = list(db.sequences[(i % 7) * 20 : (i % 7) * 20 + 12])
+        items.append([i, q, None, None, refs, [], 10**6, 0.0, 0, 0])
+    pend = []
+    rest = _trim_windows_native(items, pend)
+    assert rest == []  # flat store present: all go native
+    got = {id(p[0]): (p[1], p[2], p[3]) for p in pend}
+    n_win = 0
+    for it in items:
+        top = it[4][0]
+        table = _anchor_cache.get(
+            top, lambda t: RefAnchorTable(t.masks)
+        )
+        cols = _db_occupied_cols(top)
+        win = query_window(
+            it[1].masks, table, top.positions, cols
+        )
+        if win is None:
+            assert id(it) not in got
+        else:
+            n_win += 1
+            assert got[id(it)] == (win[0], win[1], win[2]), it[0]
+    # families are arbitrary slices, so unrelated tops legitimately
+    # fail to anchor; parity above is the real assertion
+    assert n_win >= 10
