@@ -934,10 +934,74 @@ def _dispatch_profile_bucket(
     c_full_max = max(
         it[9] if len(it) > 9 else it[6] for it in items
     )
+    fam_full_c = {}
+    for b, it in enumerate(items):
+        fam_full_c[int(item_fi[b])] = (
+            it[9] if len(it) > 9 else it[6]
+        )
+    # window-restricted builds: when every item of a family carries a
+    # column window, its profile (and cols array) only needs the
+    # union window — an amplicon batch otherwise builds ~70%
+    # out-of-window bases (0.65s/batch of the measured steady
+    # state).  aspace (insertion=forbid) keeps full builds: its
+    # boundary budget needs the first occupied column AFTER the
+    # window.  Everything downstream (ws ranks, slices, finalize)
+    # already works in the returned cols space.
+    fam_windows = None
+    if any_win and not aspace:
+        from .ops.profile import can_window_batch
+
+        if can_window_batch(ffams):
+            nf = len(ffams)
+            wlo: list[int | None] = [None] * nf
+            whi: list[int | None] = [None] * nf
+            full_fam = [False] * nf
+            for b, it in enumerate(items):
+                fi = int(item_fi[b])
+                win = it[8] if len(it) > 8 else 0
+                if win == 0:
+                    full_fam[fi] = True
+                else:
+                    wlo[fi] = (
+                        win[0] if wlo[fi] is None
+                        else min(wlo[fi], win[0])
+                    )
+                    whi[fi] = (
+                        win[1] if whi[fi] is None
+                        else max(whi[fi], win[1])
+                    )
+            fam_windows = [
+                None
+                if full_fam[fi] or wlo[fi] is None
+                else (wlo[fi], whi[fi])
+                for fi in range(nf)
+            ]
+            if not any(w is not None for w in fam_windows):
+                fam_windows = None
+    if fam_windows is not None:
+        widx = [
+            fi for fi, w in enumerate(fam_windows) if w is not None
+        ]
+        wcounts = _count_cols_range_batch(
+            [ffams[fi] for fi in widx],
+            np.array([fam_windows[fi][0] for fi in widx], np.int64),
+            np.array([fam_windows[fi][1] for fi in widx], np.int64),
+        )
+        if wcounts is None:
+            fam_windows = None
+        else:
+            wc = {fi: int(c) for fi, c in zip(widx, wcounts)}
+            c_need = max(
+                wc.get(fi, c)
+                for fi, c in fam_full_c.items()
+            )
     # sliced-row path needed when any row is a window, or when a
     # length-trimmed window starting at column 0 left the bucket cpad
     # smaller than the family's full span
-    if not any_win and c_full_max <= cpad:
+    if fam_windows is not None:
+        cpad_build = _bucket(max(c_need, 1), 512)
+        trimmed = True
+    elif not any_win and c_full_max <= cpad:
         cpad_build = cpad
         trimmed = False
     else:
@@ -948,7 +1012,7 @@ def _dispatch_profile_bucket(
     # freqs/gapcost intermediates never materialise on the host
     with t.section("build profile"):
         fgq_f, cols_list = build_profiles_packed_batch(
-            ffams, cpad_build, params
+            ffams, cpad_build, params, windows=fam_windows
         )
     # raw column windows -> family occupied-column start ranks
     # (snapped to the shared SNAP_GRID so repeated queries dedup —

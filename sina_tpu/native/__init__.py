@@ -147,6 +147,18 @@ def _bind(lib):
         ctypes.c_long, ctypes.c_long,
         np.ctypeslib.ndpointer(np.int64),
     ]
+    lib.sina_member_ranges.restype = ctypes.c_long
+    lib.sina_member_ranges.argtypes = [
+        np.ctypeslib.ndpointer(np.uint32),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+    ]
     lib.sina_query_windows.restype = ctypes.c_long
     lib.sina_query_windows.argtypes = [
         np.ctypeslib.ndpointer(np.uint8),
@@ -384,6 +396,34 @@ def count_cols(
     if rc != 0:
         return None
     return out
+
+
+def member_ranges(
+    all_pos, member_starts, base_counts, fam_sizes, lo, hi,
+):
+    """Per-member base subranges covering each family's raw-column
+    window [lo, hi) (lo < 0 keeps the member whole).  Returns
+    (starts, counts) int64 arrays or None when the native library
+    is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(member_starts)
+    out_starts = np.empty(n, np.int64)
+    out_counts = np.empty(n, np.int64)
+    rc = lib.sina_member_ranges(
+        np.ascontiguousarray(all_pos, np.uint32),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(base_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        np.ascontiguousarray(lo, np.int64),
+        np.ascontiguousarray(hi, np.int64),
+        len(fam_sizes),
+        out_starts, out_counts,
+    )
+    if rc != 0:
+        return None
+    return out_starts, out_counts
 
 
 def query_windows(

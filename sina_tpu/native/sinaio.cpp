@@ -293,6 +293,42 @@ long sina_build_profiles_packed(
         fgq, gap_open, gap_ext, gap_scale, cols_flat, c_real);
 }
 
+// Per-member base subranges covering a per-family raw-column window
+// [lo, hi) (lo < 0 = keep the full member).  Member positions are
+// ascending (cseq invariant), so each restriction is two binary
+// searches.  Feeds window-restricted profile builds: an amplicon
+// batch otherwise pays the FULL family profile build (~70% of the
+// bases land outside every query's window).
+long sina_member_ranges(
+    const unsigned int* all_pos,
+    const long long* member_starts, const long long* base_counts,
+    const long long* fam_sizes,
+    const long long* lo, const long long* hi,
+    long B,
+    long long* out_starts, long long* out_counts) {
+    long cursor = 0;
+    for (long b = 0; b < B; ++b) {
+        long nm = fam_sizes[b];
+        for (long m = 0; m < nm; ++m, ++cursor) {
+            long long s = member_starts[cursor];
+            long long c = base_counts[cursor];
+            if (lo[b] < 0) {
+                out_starts[cursor] = s;
+                out_counts[cursor] = c;
+                continue;
+            }
+            const unsigned int* p0 = all_pos + s;
+            const unsigned int* pl = std::lower_bound(
+                p0, p0 + c, (unsigned int)lo[b]);
+            const unsigned int* ph = std::lower_bound(
+                pl, p0 + c, (unsigned int)hi[b]);
+            out_starts[cursor] = s + (pl - p0);
+            out_counts[cursor] = ph - pl;
+        }
+    }
+    return 0;
+}
+
 // Batched occupied-column counts per family (the bucketing input for
 // align_dispatch): counts[b] = |union of member base columns|.  An
 // epoch-stamped scratch array avoids clearing width slots per family.

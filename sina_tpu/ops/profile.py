@@ -277,15 +277,39 @@ def build_profiles_batch(
     return freqs, gapo_out, gape_out, cols_list
 
 
+def can_window_batch(families: list[list[Sequence]]) -> bool:
+    """True when window-restricted building is available for these
+    families: native lib present + every member stamped into one
+    shared flat store (the same precondition the builder checks)."""
+    from .. import native
+
+    if native.get_lib() is None:
+        return False
+    seqs = [s for f in families for s in f]
+    refs = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = refs[0] if refs else None
+    return r0 is not None and all(
+        r is not None and r[0] is r0[0] and r[4] is s.positions
+        for r, s in zip(refs, seqs)
+    )
+
+
 def build_profiles_packed_batch(
-    families: list[list[Sequence]], cpad: int, params: "DpParams"
+    families: list[list[Sequence]], cpad: int, params: "DpParams",
+    windows: list[tuple[int, int] | None] | None = None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """build_profiles_batch emitting the device wire format directly:
     fgq (B, cpad, 6) uint8 (see _pack_fgq) + per-family occupied
     column arrays.  The native builder quantises in-loop (bit-exact
     vs _pack_fgq, parity-tested), skipping the (B, cpad, 4) f32
     freqs / gapcost intermediates entirely; without the native
-    library this falls back to build + pack."""
+    library this falls back to build + pack.
+
+    `windows` (requires can_window_batch): per-family raw-column
+    window [lo, hi) or None for full — members restrict to their
+    in-window base subranges (sina_member_ranges), so the profile
+    and its cols array cover the window only.  An amplicon batch's
+    profiles otherwise build ~70% out-of-window bases."""
     from .. import native
 
     B = len(families)
@@ -302,8 +326,27 @@ def build_profiles_packed_batch(
     ):
         starts = np.fromiter((r[2] for r in refs), np.int64, n_total)
         ends = np.fromiter((r[3] for r in refs), np.int64, n_total)
+        counts = ends - starts
+        if windows is not None:
+            lo = np.array(
+                [-1 if w is None else w[0] for w in windows],
+                np.int64,
+            )
+            hi = np.array(
+                [-1 if w is None else w[1] for w in windows],
+                np.int64,
+            )
+            sliced = native.member_ranges(
+                r0[0], starts, counts, fam_sizes, lo, hi
+            )
+            if sliced is None:
+                raise RuntimeError(
+                    "windowed profile build requested without "
+                    "native support (check can_window_batch first)"
+                )
+            starts, counts = sliced
         nat = native.build_profiles_packed(
-            r0[0], r0[1], starts, ends - starts, fam_sizes,
+            r0[0], r0[1], starts, counts, fam_sizes,
             width, cpad,
             params.gap_open, params.gap_ext, _gap_scale(params),
         )
@@ -312,6 +355,11 @@ def build_profiles_packed_batch(
             return fgq, [
                 cols_flat[b, : int(c_real[b])] for b in range(B)
             ]
+    if windows is not None:
+        raise RuntimeError(
+            "windowed profile build requested without native "
+            "support (check can_window_batch first)"
+        )
 
     freqs, gapo, gape, cols_list = build_profiles_batch(
         families, cpad

@@ -332,3 +332,47 @@ def test_native_query_windows_parity():
     # families are arbitrary slices, so unrelated tops legitimately
     # fail to anchor; parity above is the real assertion
     assert n_win >= 10
+
+
+def test_windowed_profile_build_identical_flat_store():
+    """With the shared flat store stamped (production config) the
+    dispatcher builds WINDOW-RESTRICTED profiles; results must stay
+    bit-identical to trim-off full-lattice alignment."""
+    from sina_tpu.ops.profile import can_window_batch
+
+    db = testing.make_reference(
+        n_seqs=64, n_core=900, width=1600, seed=41
+    )
+    db.ensure_flat()
+    refs = db.sequences[:12]
+    assert can_window_batch([refs])
+    shared = [(1.0, s) for s in refs]
+    qs = [
+        _amplicon(q, 240, 500)
+        for q in testing.make_queries(
+            db, n=8, seed=43, branch_len=0.6
+        )
+    ]
+    full, trim = _run_pair(qs, [shared] * len(qs))
+    n_checked = 0
+    for f, t in zip(full, trim):
+        assert (f is None) == (t is None)
+        if f is None:
+            continue
+        assert f.positions.tolist() == t.positions.tolist()
+        assert f.masks.tolist() == t.masks.tolist()
+        n_checked += 1
+    assert n_checked >= 6
+    # mixed batch: one full-length query forces its family full while
+    # windowed families still restrict
+    qmix = qs[:3] + [
+        unaligned_copy(
+            testing.make_queries(db, n=1, seed=47, branch_len=0.5)[0]
+        )
+    ]
+    fams = [shared] * len(qmix)
+    fullm, trimm = _run_pair(qmix, fams)
+    for f, t in zip(fullm, trimm):
+        assert (f is None) == (t is None)
+        if f is not None:
+            assert f.positions.tolist() == t.positions.tolist()
