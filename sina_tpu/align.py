@@ -144,15 +144,124 @@ def _norm_bases(seq: Sequence) -> str:
     )
 
 
+def _containment_batch(queries, families):
+    """Native batched containment offsets for try_copy_alignment
+    (sina_contains over the shared flat mask store — the per-query
+    string building cost ~0.6 ms/query of host wall at SILVA scale).
+    Returns {query_idx: int64 offsets array (one per family member,
+    -1 = not contained)} or None when the caller must use the string
+    path (no native lib / members not in one flat store)."""
+    from . import native
+
+    if native.get_lib() is None:
+        return None
+    idxs = [i for i, f in enumerate(families) if f]
+    if not idxs:
+        return None
+    seqs = [it[1] for i in idxs for it in families[i]]
+    flats = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = flats[0]
+    if r0 is None or not all(
+        f is not None and f[0] is r0[0] and f[4] is s.positions
+        for f, s in zip(flats, seqs)
+    ):
+        return None
+    n = len(seqs)
+    starts = np.fromiter((f[2] for f in flats), np.int64, n)
+    counts = np.fromiter((f[3] - f[2] for f in flats), np.int64, n)
+    fam_sizes = np.array(
+        [len(families[i]) for i in idxs], np.int64
+    )
+    qmasks = [
+        (queries[i].masks & 0xF).astype(np.uint8) for i in idxs
+    ]
+    qoffsets = np.zeros(len(idxs) + 1, np.int64)
+    np.cumsum([len(m) for m in qmasks], out=qoffsets[1:])
+    offs = native.contains_batch(
+        r0[1], starts, counts, fam_sizes,
+        np.concatenate(qmasks) if qmasks else
+        np.zeros(0, np.uint8),
+        qoffsets,
+    )
+    if offs is None:
+        return None
+    out = {}
+    cur = 0
+    for i, sz in zip(idxs, fam_sizes):
+        out[i] = offs[cur : cur + int(sz)]
+        cur += int(sz)
+    return out
+
+
 def try_copy_alignment(
     query: Sequence,
     family: list[tuple[float, Sequence]],
     cfg: AlignerConfig,
     log: list[str],
+    offsets: np.ndarray | None = None,
 ) -> tuple[Sequence | None, list[tuple[float, Sequence]]]:
     """Identity/superstring fast path (align.cpp:328-389): if a family
     member contains the query's bases verbatim, copy its alignment.
-    With --realign those members are dropped instead."""
+    With --realign those members are dropped instead.
+
+    `offsets` (from _containment_batch) carries precomputed per-member
+    containment offsets; the mask-level native check is equivalent to
+    the normalized base-string test (4-bit IUPAC codes strip case and
+    map U == T) and skips all string building."""
+    if offsets is not None:
+        cont_idx = [
+            m for m in range(len(family)) if offsets[m] >= 0
+        ]
+        if not cont_idx:
+            return None, family
+        if cfg.realign:
+            log.append(
+                "sequences "
+                + " ".join(
+                    family[m][1].get_attr("acc", family[m][1].name)
+                    for m in cont_idx
+                )
+                + " containing exact candidate removed from family;"
+            )
+            drop = set(cont_idx)
+            return None, [
+                it for m, it in enumerate(family) if m not in drop
+            ]
+        out = query.copy()
+        if cfg.lowercase != LOWERCASE_ORIGINAL:
+            out.upper_case_all()
+        qlen = len(query.masks)
+        exact_m = next(
+            (m for m in cont_idx if len(family[m][1]) == qlen), None
+        )
+        if exact_m is not None:
+            ref = family[exact_m][1]
+            out.positions = ref.positions.copy()
+            log.append(
+                f"copied alignment from identical template sequence "
+                f"{ref.get_attr('acc', ref.name)};"
+            )
+        else:
+            m = cont_idx[0]
+            ref = family[m][1]
+            start = int(offsets[m])
+            out.positions = ref.positions[
+                start : start + qlen
+            ].copy()
+            log.append(
+                f"copied alignment from (longer) template sequence "
+                f"{ref.get_attr('acc', ref.name)};"
+            )
+        out.width = ref.width
+        out.set_attr(FN_DATE, _now())
+        out.set_attr(FN_QUAL, 100)
+        if cfg.calc_idty:
+            out.set_attr(FN_IDTY, 100.0)
+        out.set_attr(FN_HEAD, 0)
+        out.set_attr(FN_TAIL, 0)
+        out.set_attr(FN_FILTER, "")
+        return out, family
+
     bases = query.get_bases().upper().replace("U", "T")
 
     containing = []
@@ -332,15 +441,20 @@ def _trim_windows_native(cand, pend) -> list:
         return cand
     items = []
     rest = []
+    store0 = None  # all native items must share ONE flat store: the
+    # occupied-cols array below is per-store, so a batch mixing two
+    # dbs would anchor the second db's queries against the wrong
+    # columns — those route to the python fallback instead
     for it in cand:
         top = it[4][0]
-        if (
-            getattr(top, "_flat_ref", None) is not None
-            and _db_occupied_cols(top) is not None
-        ):
-            items.append(it)
-        else:
-            rest.append(it)
+        flat = getattr(top, "_flat_ref", None)
+        if flat is not None and _db_occupied_cols(top) is not None:
+            if store0 is None:
+                store0 = flat[0]
+            if flat[0] is store0:
+                items.append(it)
+                continue
+        rest.append(it)
     if not items:
         return rest
     cols = _db_occupied_cols(items[0][4][0])
@@ -492,11 +606,17 @@ def align_dispatch(
     engine = cfg.resolved_engine()
     todo = []  # (idx, q_upper, template, cw, refs, log)
     graph_cache: dict[tuple, LinearGraph] = {}
+    _tcopy = get_timer("Aligner").section("copy path")
+    _tcopy.__enter__()
+    cont = _containment_batch(queries, families)
     for idx, (query, family) in enumerate(zip(queries, families)):
         if not family:
             continue
         log: list[str] = []
-        copied, family = try_copy_alignment(query, family, cfg, log)
+        copied, family = try_copy_alignment(
+            query, family, cfg, log,
+            offsets=cont.get(idx) if cont is not None else None,
+        )
         # the reference's tray shares the family vector, so later
         # stages see the aligner's filtering (align.cpp:337-345);
         # mirror that by updating the caller's list in place
@@ -535,6 +655,7 @@ def align_dispatch(
         todo.append(
             [idx, q, template, cw, refs, log, n_shape, top_score]
         )
+    _tcopy.__exit__(None, None, None)
 
     if todo and engine == "graph":
         from .ops.graph import build_graphs_batch
@@ -740,6 +861,44 @@ def _graph_dp_pallas_chunked(
     )
 
 
+class _StackArena:
+    """Reusable host buffers for the graph batch planes.
+
+    np.zeros/np.full of the (B, N, P) predecessor plane every
+    dispatch made the GraphDP "stack" section swing 0.08-0.7 s/call
+    on the bench host purely from allocator behavior (large mallocs
+    mmap fresh pages, freeing returns them to the OS, the next call
+    refaults them — VERDICT r4 weak #4).  Buffers rotate over BANKS
+    banks so a buffer is reused only after its contents were shipped
+    to the device: the align pipeline runs at most 2 dispatches deep
+    and a dispatch rarely has >2 graph shape buckets."""
+
+    BANKS = 4
+
+    def __init__(self):
+        self._banks = [dict() for _ in range(self.BANKS)]
+        self._i = 0
+
+    def next_bank(self) -> dict:
+        self._i = (self._i + 1) % self.BANKS
+        return self._banks[self._i]
+
+    @staticmethod
+    def take(bank: dict, key: str, shape, dtype):
+        buf = bank.get(key)
+        if (
+            buf is None
+            or buf.shape != tuple(shape)
+            or buf.dtype != dtype
+        ):
+            buf = np.empty(shape, dtype)
+            bank[key] = buf
+        return buf
+
+
+_stack_arena = _StackArena()
+
+
 def _dispatch_graph_bucket(
     items, npad, mpad, params, cfg, queries, astats_names, results
 ):
@@ -782,20 +941,39 @@ def _dispatch_graph_bucket(
         # non-start non-end nodes at the final column).  The previous
         # pad_graph-then-np.stack route copied every plane twice and
         # built a (B, npad, P) int64 distance tensor just for maxd —
-        # ~0.4s/batch of host wall on the 2-core bench host.
+        # ~0.4s/batch of host wall on the 2-core bench host.  Planes
+        # come from the rotating arena (no per-call mmap churn); P
+        # snaps to a multiple of 4 so family-to-family pred-width
+        # jitter doesn't defeat buffer reuse.
         B = len(items)
         width0 = items[0][2].width
         P = max(it[2].preds.shape[1] for it in items)
-        pos_s = np.full((B, npad), width0 - 1, np.int32)
-        mask_s = np.zeros((B, npad), np.int32)
-        weight_s = np.zeros((B, npad), np.float32)
-        preds_s = np.full((B, npad, P), -1, np.int32)
-        start_s = np.zeros((B, npad), bool)
-        end_s = np.zeros((B, npad), bool)
-        need_budget = cfg.insertion == INSERTION_FORBID
-        maxi_s = (
-            np.zeros((B, npad), np.int32) if need_budget else None
+        P = -(-P // 4) * 4
+        bank = _stack_arena.next_bank()
+        pos_s = _StackArena.take(bank, "pos", (B, npad), np.int32)
+        pos_s.fill(width0 - 1)
+        mask_s = _StackArena.take(bank, "mask", (B, npad), np.int32)
+        mask_s.fill(0)
+        weight_s = _StackArena.take(
+            bank, "weight", (B, npad), np.float32
         )
+        weight_s.fill(0)
+        preds_s = _StackArena.take(
+            bank, "preds", (B, npad, P), np.int32
+        )
+        preds_s.fill(-1)
+        start_s = _StackArena.take(bank, "start", (B, npad), bool)
+        start_s.fill(False)
+        end_s = _StackArena.take(bank, "end", (B, npad), bool)
+        end_s.fill(False)
+        need_budget = cfg.insertion == INSERTION_FORBID
+        if need_budget:
+            maxi_s = _StackArena.take(
+                bank, "maxi", (B, npad), np.int32
+            )
+            maxi_s.fill(0)
+        else:
+            maxi_s = None
         maxd = 0
         for b, it in enumerate(items):
             g = it[2]
@@ -948,6 +1126,8 @@ def _dispatch_profile_bucket(
     # window.  Everything downstream (ws ranks, slices, finalize)
     # already works in the returned cols space.
     fam_windows = None
+    _twin = t.section("window calc")
+    _twin.__enter__()
     if any_win and not aspace:
         from .ops.profile import can_window_batch
 
@@ -995,6 +1175,7 @@ def _dispatch_profile_bucket(
                 wc.get(fi, c)
                 for fi, c in fam_full_c.items()
             )
+    _twin.__exit__(None, None, None)
     # sliced-row path needed when any row is a window, or when a
     # length-trimmed window starting at column 0 left the bucket cpad
     # smaller than the family's full span
@@ -1014,6 +1195,8 @@ def _dispatch_profile_bucket(
         fgq_f, cols_list = build_profiles_packed_batch(
             ffams, cpad_build, params, windows=fam_windows
         )
+    _tpack = t.section("pack rows")
+    _tpack.__enter__()
     # raw column windows -> family occupied-column start ranks
     # (snapped to the shared SNAP_GRID so repeated queries dedup —
     # the grid size is included in _trim_windows' size estimate),
@@ -1086,6 +1269,7 @@ def _dispatch_profile_bucket(
                 if end == Cf
                 else int(cols_f[end]) - int(cols_f[end - 1]) - 1
             )
+    _tpack.__exit__(None, None, None)
     with t.section("profile dp dispatch"):
         handle = profile_dp_dispatch(
             None, None, qmask, ql, cr, params,

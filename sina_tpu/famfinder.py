@@ -149,11 +149,20 @@ class FamFinder:
                     devices, dp=1 if multiproc else None
                 )
                 mp = self._mesh.shape["mp"]
-                P = self.index.dense_packed()
-                Sb = P.shape[1]
-                Sb_pad = -(-Sb // mp) * mp
-                if Sb_pad != Sb:
-                    P = np.pad(P, ((0, 0), (0, Sb_pad - Sb)))
+                cap = -(-max(self.index.n_seqs, 1) // 1024) * 1024
+                if cap >= 32768:
+                    # SILVA scale: per-shard exact-size tiled blocks
+                    # (the single-chip 450k layout, sharded over the
+                    # lane axis — parallel/sharding.sharded_search)
+                    P = self.index.dense_packed_tiled(
+                        byte_multiple=4096 * mp
+                    )
+                else:
+                    P = self.index.dense_packed()
+                    Sb = P.shape[1]
+                    Sb_pad = -(-Sb // mp) * mp
+                    if Sb_pad != Sb:
+                        P = np.pad(P, ((0, 0), (0, Sb_pad - Sb)))
                 self._P = shard_index_matrix(
                     self._mesh, jnp.asarray(P)
                 )
@@ -254,6 +263,132 @@ class FamFinder:
             vals = np.where(pad, -1, vals)
             ids = np.where(pad, 0, ids)
             return vals, ids
+
+    def _seq_stats(self):
+        """Per-sequence (lengths, first position, last position)
+        arrays over the whole db — the vectorized _filter's inputs
+        (one gather instead of 256 Sequence-object attribute chains
+        per query; the per-candidate python loop was ~0.1 s/batch of
+        the r5 100k steady state)."""
+        if getattr(self, "_stats", None) is None:
+            offsets, flat_pos, _ = self.db.flat_arrays()
+            lens = np.diff(offsets)
+            n = len(lens)
+            pos0 = np.zeros(n, np.int64)
+            posN = np.full(n, -1, np.int64)
+            nz = lens > 0
+            pos0[nz] = flat_pos[offsets[:-1][nz]]
+            posN[nz] = flat_pos[(offsets[1:] - 1)[nz]]
+            self._stats = (lens, pos0, posN)
+        return self._stats
+
+    def _filter_fast(self, vals, ids, limit: int):
+        """Vectorized _filter (famfinder.cpp:541-588 semantics) for
+        configs where no per-candidate Sequence object is needed:
+        fs_leave_query_out off and fs_msc_max inert (>= 1.0, so the
+        comparator can never remove anything — see _filter).  Returns
+        (kept [(score, seq_id)], have, have_full, cover_l, cover_r).
+
+        Unlike the reference's loop this breaks early once no later
+        candidate can be kept (have >= fs_max with every quota met) —
+        decision-equivalent because from that state every branch
+        `continue`s without touching state."""
+        cfg = self.cfg
+        lens, pos0, posN = self._seq_stats()
+        vals = vals[:limit]
+        ids = ids[:limit]
+        valid = vals >= 0
+        if not valid.all():
+            vals = vals[valid]
+            ids = ids[valid]
+        l = lens[ids]
+        keepable = l >= cfg.fs_min_len
+        is_full = l >= cfg.fs_full_len
+        nz = l > 0
+        covers_l = nz & (pos0[ids] <= cfg.gene_start)
+        covers_r = nz & (posN[ids] >= cfg.gene_end)
+        kept: list[tuple[float, int]] = []
+        have = have_full = cover_l = cover_r = 0
+        rows = zip(
+            vals.tolist(), ids.tolist(), keepable.tolist(),
+            is_full.tolist(), covers_l.tolist(), covers_r.tolist(),
+        )
+        for score, sid, ok, full, cl, cr in rows:
+            if not ok:
+                continue
+            if have >= cfg.fs_min:
+                score_keeps = score < cfg.fs_msc
+                fills_full = (
+                    cfg.fs_req_full
+                    and have_full < cfg.fs_req_full
+                    and full
+                )
+                fills_range = cfg.fs_cover_gene and (
+                    (cover_r < cfg.fs_cover_gene and cr)
+                    or (cover_l < cfg.fs_cover_gene and cl)
+                )
+                if (
+                    (have >= cfg.fs_max or not score_keeps)
+                    and not fills_full
+                    and not fills_range
+                ):
+                    if (
+                        have >= cfg.fs_max
+                        and have_full >= cfg.fs_req_full
+                        and cover_l >= cfg.fs_cover_gene
+                        and cover_r >= cfg.fs_cover_gene
+                    ):
+                        break  # no later candidate can be kept
+                    continue
+            have += 1
+            if full:
+                have_full += 1
+            if cl:
+                cover_l += 1
+            if cr:
+                cover_r += 1
+            kept.append((score, sid))
+        return kept, have, have_full, cover_l, cover_r
+
+    def _match_fast(
+        self, vals: np.ndarray, ids: np.ndarray
+    ) -> list[tuple[float, Sequence]] | None:
+        """match() over numpy top-k rows (the batched path): same
+        constraint-escalation protocol, Sequence objects materialised
+        only for the kept family.  Returns None when the candidate
+        rows ran out (the caller refetches deeper or defers to the
+        batched escalation)."""
+        cfg = self.cfg
+        n = self.index.n_seqs
+        avail = int((vals >= 0).sum())
+        max_results = cfg.fs_max + 1
+        while True:
+            if avail < min(max_results, n):
+                return None  # caller escalates with a deeper top-k
+            kept, have, have_full, cl, cr = self._filter_fast(
+                vals, ids, max_results
+            )
+            if (
+                have >= cfg.fs_max
+                and have_full >= cfg.fs_req_full
+                and cl >= cfg.fs_cover_gene
+                and cr >= cfg.fs_cover_gene
+            ):
+                break
+            if max_results >= n:
+                break
+            max_results *= 10
+        seqs = self.db.sequences
+        return [(score, seqs[sid]) for score, sid in kept]
+
+    def _fast_policy_ok(self) -> bool:
+        """The vectorized filter applies when no per-candidate
+        Sequence object is consulted: leave-query-out needs names,
+        an active fs_msc_max (< 1.0) needs the comparator."""
+        return (
+            not self.cfg.fs_leave_query_out
+            and self.cfg.fs_msc_max >= 1.0
+        )
 
     def find(
         self, query: Sequence, max_results: int
@@ -508,17 +643,22 @@ class FamFinder:
             self._mesh is not None
         ):
             return None  # turn/sharded paths fetch eagerly
-        uniq, inv = self._dedupe_masks([q.masks for q in queries])
-        kmers, _ = query_kmers_padded(
-            uniq, self.index.k, fast=self.index.fast,
-        )
-        # row-bucket pad so neither dedupe nor a short batch mints a
-        # new device shape (compiles cost ~1s+ on tunneled backends)
-        kmers = self._pad_rows(kmers, self._matrix().shape[0] - 1)
+        t = get_timer("Kmer Search")
+        with t.section("extract kmers"):
+            uniq, inv = self._dedupe_masks([q.masks for q in queries])
+            kmers, _ = query_kmers_padded(
+                uniq, self.index.k, fast=self.index.fast,
+            )
+            # row-bucket pad so neither dedupe nor a short batch mints
+            # a new device shape (compiles cost ~1s+ on tunneled
+            # backends)
+            kmers = self._pad_rows(kmers, self._matrix().shape[0] - 1)
         k0 = min(
             max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
         )
-        return _score_topk_compiled(k0)(self._matrix(), kmers), k0, inv
+        with t.section("score dispatch"):
+            handle = _score_topk_compiled(k0)(self._matrix(), kmers)
+        return handle, k0, inv
 
     def process_batch(
         self, queries: list[Sequence], handle=None
@@ -532,29 +672,25 @@ class FamFinder:
             return []
         if handle is not None:
             packed, k0, inv = handle
-            with get_timer("Kmer Search").section("fetch topk"):
+            t = get_timer("Kmer Search")
+            with t.section("fetch topk"):
                 packed = np.asarray(packed)
-            vals, ids = packed[:, :k0], packed[:, k0:]
-            pad = ids >= self.index.n_seqs
-            vals = np.where(pad, -1, vals)
-            ids = np.where(pad, 0, ids)
-            out = []
-            ranked_cache: dict[int, list] = {}
-            for b, q in enumerate(queries):
-                q.set_attr("turn_slv", "turn-check disabled")
-                u = int(inv[b])
-                ranked = ranked_cache.get(u)
-                if ranked is None:
-                    ranked = ranked_cache[u] = [
-                        (float(v), int(i))
-                        for v, i in zip(vals[u], ids[u])
-                        if v >= 0
-                    ]
-                out.append(
-                    self._finish(q, ranked=list(ranked),
-                                 allow_refetch=False)
-                )
-            self._finish_escalated(queries, out)
+            with t.section("policy"):
+                vals, ids = packed[:, :k0], packed[:, k0:]
+                pad = ids >= self.index.n_seqs
+                vals = np.where(pad, -1, vals)
+                ids = np.where(pad, 0, ids)
+                out = []
+                for b, q in enumerate(queries):
+                    q.set_attr("turn_slv", "turn-check disabled")
+                    u = int(inv[b])
+                    out.append(
+                        self._finish(
+                            q, ranked_np=(vals[u], ids[u]),
+                            allow_refetch=False,
+                        )
+                    )
+                self._finish_escalated(queries, out)
             return out
         inv = None
         if cfg.turn == TURN_NONE:
@@ -612,26 +748,18 @@ class FamFinder:
                     # total even for revcomp-heavy batches)
                     reoriented.append((b, q))
                     continue
-            ranked = [
-                (float(v), int(i))
-                for v, i in zip(vals[row], ids[row])
-                if v >= 0
-            ]
             out[b] = self._finish(
-                q, ranked=ranked, allow_refetch=False
+                q, ranked_np=(vals[row], ids[row]),
+                allow_refetch=False,
             )
         if reoriented:
             v1, i1 = self.score_topk(
                 [q.masks for _, q in reoriented], k0
             )
             for row, (b, q) in enumerate(reoriented):
-                ranked = [
-                    (float(v), int(i))
-                    for v, i in zip(v1[row], i1[row])
-                    if v >= 0
-                ]
                 out[b] = self._finish(
-                    q, ranked=ranked, allow_refetch=False
+                    q, ranked_np=(v1[row], i1[row]),
+                    allow_refetch=False,
                 )
         self._finish_escalated(queries, out)
         return out
@@ -657,13 +785,8 @@ class FamFinder:
             still: list[int] = []
             for row, b in enumerate(todo):
                 u = int(einv[row])
-                ranked = [
-                    (float(v), int(i))
-                    for v, i in zip(vals[u], ids[u])
-                    if v >= 0
-                ]
                 res = self._finish(
-                    queries[b], ranked=ranked,
+                    queries[b], ranked_np=(vals[u], ids[u]),
                     allow_refetch=(k >= n),
                 )
                 if res is None:
@@ -685,16 +808,40 @@ class FamFinder:
         scores: np.ndarray | None = None,
         ranked: list[tuple[float, int]] | None = None,
         allow_refetch: bool = True,
+        ranked_np: tuple[np.ndarray, np.ndarray] | None = None,
     ) -> FamilyResult | None:
         """Post-turn-check famfinder stage body
         (famfinder.cpp:439-494).  Returns None when the candidate
         list ran out and allow_refetch is False (escalation deferred
-        to the batched caller)."""
+        to the batched caller).  `ranked_np` passes the device top-k
+        row pair (vals, ids) directly so the common config runs the
+        vectorized filter without building candidate tuple lists."""
         cfg = self.cfg
-        family = self.match(
-            query, scores=scores, ranked=ranked,
-            allow_refetch=allow_refetch,
-        )
+        if ranked_np is not None and self._fast_policy_ok():
+            family = self._match_fast(ranked_np[0], ranked_np[1])
+            if family is None:
+                if not allow_refetch:
+                    return None
+                family = self.match(
+                    query,
+                    ranked=[
+                        (float(v), int(i))
+                        for v, i in zip(*ranked_np)
+                        if v >= 0
+                    ],
+                    allow_refetch=True,
+                )
+        else:
+            if ranked_np is not None:
+                ranked = [
+                    (float(v), int(i))
+                    for v, i in zip(*ranked_np)
+                    if v >= 0
+                ]
+            family = self.match(
+                query, scores=scores, ranked=ranked,
+                allow_refetch=allow_refetch,
+            )
         if family is None:
             return None
 

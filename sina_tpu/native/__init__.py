@@ -251,6 +251,18 @@ def _bind(lib):
         np.ctypeslib.ndpointer(np.uint8),
         ctypes.c_longlong, ctypes.c_long,
     ]
+    lib.sina_contains.restype = ctypes.c_long
+    lib.sina_contains.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.uint8),
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+        np.ctypeslib.ndpointer(np.int64),
+        ctypes.c_long,
+    ]
 
 
 def _n_threads() -> int:
@@ -280,6 +292,35 @@ def build_kmer_lists(flat_masks, offsets, k: int, fast: bool):
     if rc != 0:
         return None
     return out_kmers[: int(out_offsets[-1])].copy(), out_offsets
+
+
+def contains_batch(
+    flat_mask4, member_starts, member_counts, fam_sizes,
+    qmask4_flat, qoffsets,
+):
+    """Batched subarray containment of each query's case-stripped
+    masks in each of its family members' (try_copy_alignment fast
+    path).  Returns per-member first-occurrence offsets (int64,
+    -1 = not contained) aligned with member_starts order, or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(fam_sizes)
+    n_total = len(member_starts)
+    out = np.empty(max(n_total, 1), dtype=np.int64)
+    rc = lib.sina_contains(
+        np.ascontiguousarray(flat_mask4, np.uint8),
+        np.ascontiguousarray(member_starts, np.int64),
+        np.ascontiguousarray(member_counts, np.int64),
+        np.ascontiguousarray(fam_sizes, np.int64),
+        np.ascontiguousarray(qmask4_flat, np.uint8),
+        np.ascontiguousarray(qoffsets, np.int64),
+        B, out, _n_threads(),
+    )
+    if rc != 0:
+        return None
+    return out[:n_total]
 
 
 def pack_graph(preds, is_start, is_end, n_real):

@@ -174,95 +174,125 @@ static long build_profiles_core(
         int pc = __builtin_popcount((unsigned)m);
         wtab[m] = 12.0 / (pc > 0 ? pc : 1);
     }
-    std::vector<double> pts((size_t)width * 4);
-    std::vector<int> colindex(width);
-    std::vector<int> present(cpad), gapo(cpad);
-
-    long seq_cursor = 0;
-    for (long b = 0; b < B; ++b) {
-        long nm = fam_sizes[b];
-        std::fill(pts.begin(), pts.end(), 0.0);
-        for (long m = 0; m < nm; ++m) {
-            long cur = member_starts[seq_cursor + m];
-            long cnt = base_counts[seq_cursor + m];
-            for (long k = 0; k < cnt; ++k, ++cur) {
-                unsigned mask = all_mask[cur] & 0xF;
-                if (!mask) continue;
-                double w = wtab[mask];
-                double* row = &pts[(size_t)all_pos[cur] * 4];
-                if (mask & 1) row[0] += w;
-                if (mask & 2) row[1] += w;
-                if (mask & 4) row[2] += w;
-                if (mask & 8) row[3] += w;
+    std::vector<long long> fam_cursor((size_t)B + 1, 0);
+    for (long b = 0; b < B; ++b)
+        fam_cursor[b + 1] = fam_cursor[b] + fam_sizes[b];
+    // families parallelise cleanly (outputs are disjoint b-slices;
+    // per-thread scratch) — the serial loop was 0.11 s/batch of the
+    // r5 100k steady state on the 2-core bench host
+    std::atomic<long> next(0);
+    std::atomic<long> err(0);
+    auto worker = [&]() {
+        std::vector<double> pts((size_t)width * 4);
+        std::vector<unsigned> stamp((size_t)width, 0xFFFFFFFFu);
+        std::vector<int> colindex(width);
+        std::vector<int> present(cpad), gapo(cpad);
+        for (;;) {
+            long b = next.fetch_add(1);
+            if (b >= B || err.load(std::memory_order_relaxed)) break;
+            long seq_cursor = (long)fam_cursor[b];
+            long nm = fam_sizes[b];
+            unsigned st = (unsigned)b;
+            for (long m = 0; m < nm; ++m) {
+                long cur = member_starts[seq_cursor + m];
+                long cnt = base_counts[seq_cursor + m];
+                for (long k = 0; k < cnt; ++k, ++cur) {
+                    unsigned mask = all_mask[cur] & 0xF;
+                    if (!mask) continue;
+                    double w = wtab[mask];
+                    unsigned int p = all_pos[cur];
+                    double* row = &pts[(size_t)p * 4];
+                    if (stamp[p] != st) {
+                        // epoch stamp: zero lazily instead of a
+                        // width*4 memset per family
+                        stamp[p] = st;
+                        row[0] = row[1] = row[2] = row[3] = 0.0;
+                    }
+                    if (mask & 1) row[0] += w;
+                    if (mask & 2) row[1] += w;
+                    if (mask & 4) row[2] += w;
+                    if (mask & 8) row[3] += w;
+                }
+            }
+            long C = 0;
+            bool overflow = false;
+            for (long col = 0; col < width; ++col) {
+                if (stamp[col] != st) continue;
+                const double* row = &pts[(size_t)col * 4];
+                if (row[0] + row[1] + row[2] + row[3] > 0.0) {
+                    if (C >= cpad) { overflow = true; break; }
+                    colindex[col] = (int)C;
+                    cols_flat[b * cpad + C] = (int)col;
+                    ++C;
+                }
+            }
+            if (overflow) { err.store(1); break; }
+            c_real[b] = C;
+            std::fill(present.begin(), present.begin() + C, 0);
+            std::fill(gapo.begin(), gapo.begin() + C, 0);
+            // gap transitions per member: absent at column c counts
+            // as OPEN when the member is present at c-1, else EXTEND
+            // (pseq.cpp:71-100; the leading gap flag starts true)
+            for (long m = 0; m < nm; ++m) {
+                long cur = member_starts[seq_cursor + m];
+                long cnt = base_counts[seq_cursor + m];
+                long prev = -2;
+                for (long k = 0; k < cnt; ++k, ++cur) {
+                    unsigned mask = all_mask[cur] & 0xF;
+                    if (!mask) continue;
+                    int ci = colindex[all_pos[cur]];
+                    if (prev >= 0 && ci != prev + 1) ++gapo[prev + 1];
+                    ++present[ci];
+                    prev = ci;
+                }
+                if (prev >= 0 && prev + 1 < C) ++gapo[prev + 1];
+            }
+            for (long c = 0; c < C; ++c) {
+                long col = cols_flat[b * cpad + c];
+                const double* row = &pts[(size_t)col * 4];
+                double go = gapo[c];
+                double ge = (double)(nm - present[c]) - go;
+                double total =
+                    row[0] + row[1] + row[2] + row[3]
+                    + 12.0 * (go + ge);
+                if (total < 1e-9) total = 1e-9;
+                float f0 = (float)(row[0] / total);
+                float f1 = (float)(row[1] / total);
+                float f2 = (float)(row[2] / total);
+                float f3 = (float)(row[3] / total);
+                float gof = (float)(12.0 * go / total);
+                float gef = (float)(12.0 * ge / total);
+                if (fgq != nullptr) {
+                    unsigned char* o =
+                        &fgq[((size_t)b * cpad + c) * 6];
+                    // rintf = round-half-to-even, matching np.rint
+                    o[0] = (unsigned char)(int)rintf(f0 * 255.0f);
+                    o[1] = (unsigned char)(int)rintf(f1 * 255.0f);
+                    o[2] = (unsigned char)(int)rintf(f2 * 255.0f);
+                    o[3] = (unsigned char)(int)rintf(f3 * 255.0f);
+                    float gc = go_w * gof + ge_w * gef;
+                    short gi = (short)rintf(gc * gap_scale);
+                    std::memcpy(o + 4, &gi, 2);
+                } else {
+                    float* fr = &freqs[((size_t)b * cpad + c) * 4];
+                    fr[0] = f0;
+                    fr[1] = f1;
+                    fr[2] = f2;
+                    fr[3] = f3;
+                    gapo_out[b * cpad + c] = gof;
+                    gape_out[b * cpad + c] = gef;
+                }
             }
         }
-        long C = 0;
-        for (long col = 0; col < width; ++col) {
-            const double* row = &pts[(size_t)col * 4];
-            if (row[0] + row[1] + row[2] + row[3] > 0.0) {
-                if (C >= cpad) return -1;
-                colindex[col] = (int)C;
-                cols_flat[b * cpad + C] = (int)col;
-                ++C;
-            }
-        }
-        c_real[b] = C;
-        std::fill(present.begin(), present.begin() + C, 0);
-        std::fill(gapo.begin(), gapo.begin() + C, 0);
-        // gap transitions per member: absent at column c counts as
-        // OPEN when the member is present at c-1, else EXTEND
-        // (pseq.cpp:71-100; the leading gap flag starts true)
-        for (long m = 0; m < nm; ++m) {
-            long cur = member_starts[seq_cursor + m];
-            long cnt = base_counts[seq_cursor + m];
-            long prev = -2;
-            for (long k = 0; k < cnt; ++k, ++cur) {
-                unsigned mask = all_mask[cur] & 0xF;
-                if (!mask) continue;
-                int ci = colindex[all_pos[cur]];
-                if (prev >= 0 && ci != prev + 1) ++gapo[prev + 1];
-                ++present[ci];
-                prev = ci;
-            }
-            if (prev >= 0 && prev + 1 < C) ++gapo[prev + 1];
-        }
-        for (long c = 0; c < C; ++c) {
-            long col = cols_flat[b * cpad + c];
-            const double* row = &pts[(size_t)col * 4];
-            double go = gapo[c];
-            double ge = (double)(nm - present[c]) - go;
-            double total =
-                row[0] + row[1] + row[2] + row[3] + 12.0 * (go + ge);
-            if (total < 1e-9) total = 1e-9;
-            float f0 = (float)(row[0] / total);
-            float f1 = (float)(row[1] / total);
-            float f2 = (float)(row[2] / total);
-            float f3 = (float)(row[3] / total);
-            float gof = (float)(12.0 * go / total);
-            float gef = (float)(12.0 * ge / total);
-            if (fgq != nullptr) {
-                unsigned char* o = &fgq[((size_t)b * cpad + c) * 6];
-                // rintf = round-half-to-even, matching np.rint
-                o[0] = (unsigned char)(int)rintf(f0 * 255.0f);
-                o[1] = (unsigned char)(int)rintf(f1 * 255.0f);
-                o[2] = (unsigned char)(int)rintf(f2 * 255.0f);
-                o[3] = (unsigned char)(int)rintf(f3 * 255.0f);
-                float gc = go_w * gof + ge_w * gef;
-                short gi = (short)rintf(gc * gap_scale);
-                std::memcpy(o + 4, &gi, 2);
-            } else {
-                float* fr = &freqs[((size_t)b * cpad + c) * 4];
-                fr[0] = f0;
-                fr[1] = f1;
-                fr[2] = f2;
-                fr[3] = f3;
-                gapo_out[b * cpad + c] = gof;
-                gape_out[b * cpad + c] = gef;
-            }
-        }
-        seq_cursor += nm;
-    }
-    return 0;
+    };
+    unsigned hw = std::thread::hardware_concurrency();
+    long nt = hw > 1 ? (long)hw : 1;
+    if (nt > B) nt = B > 0 ? B : 1;
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    return err.load() ? -1 : 0;
 }
 
 long sina_build_profiles(
@@ -1034,6 +1064,59 @@ long sina_pack_graph(
             }
         }
     };
+    std::vector<std::thread> threads;
+    for (long t = 1; t < nt; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    return 0;
+}
+
+// Batched alignment-copy containment (the try_copy_alignment fast
+// path, semantics of align.cpp:328-389): for each query and each of
+// its family members, find the first offset at which the member's
+// case-stripped 4-bit mask sequence contains the query's as a
+// contiguous subarray.  Equivalent to the reference's normalized
+// base-string test (upper + U->T): the 4-bit IUPAC code already
+// strips case and maps U and T to the same mask.  The per-query
+// string building + `in` checks cost ~0.6 ms/query of host wall at
+// SILVA scale (the r5 100k steady-state "copy path" item).
+//
+//   flat_mask4/member_starts/member_counts  shared ref store (CSR
+//                                           rows per family member)
+//   fam_sizes[B]                            members per query
+//   qmask4/qoffsets                         concatenated query masks
+//   out_off[n_total]                        first match offset or -1
+long sina_contains(
+    const unsigned char* flat_mask4,
+    const long long* member_starts, const long long* member_counts,
+    const long long* fam_sizes,
+    const unsigned char* qmask4, const long long* qoffsets,
+    long B,
+    long long* out_off, long n_threads) {
+    std::vector<long long> fam_cursor((size_t)B + 1, 0);
+    for (long b = 0; b < B; ++b)
+        fam_cursor[b + 1] = fam_cursor[b] + fam_sizes[b];
+    std::atomic<long> next(0);
+    auto worker = [&]() {
+        for (;;) {
+            long b = next.fetch_add(1);
+            if (b >= B) break;
+            const unsigned char* q = qmask4 + qoffsets[b];
+            size_t qlen = (size_t)(qoffsets[b + 1] - qoffsets[b]);
+            for (long long m = fam_cursor[b]; m < fam_cursor[b + 1];
+                 ++m) {
+                const unsigned char* r = flat_mask4 + member_starts[m];
+                size_t rlen = (size_t)member_counts[m];
+                if (qlen == 0) { out_off[m] = 0; continue; }
+                if (rlen < qlen) { out_off[m] = -1; continue; }
+                const void* hit = memmem(r, rlen, q, qlen);
+                out_off[m] = hit
+                    ? (long long)((const unsigned char*)hit - r)
+                    : -1;
+            }
+        }
+    };
+    long nt = n_threads < 1 ? 1 : n_threads;
     std::vector<std::thread> threads;
     for (long t = 1; t < nt; ++t) threads.emplace_back(worker);
     worker();

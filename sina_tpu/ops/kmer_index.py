@@ -198,9 +198,13 @@ class KmerIndex:
             self._packed = P
         return self._packed
 
-    def dense_packed_tiled(self) -> np.ndarray:
+    def dense_packed_tiled(
+        self, byte_multiple: int = 4096
+    ) -> np.ndarray:
         """(n_rows+1, 32, W) uint8 row-major view of dense_packed()
-        with the byte axis padded to a 4096 multiple (W = Sb4/32).
+        with the byte axis padded to a `byte_multiple` multiple
+        (W = Sb4/32; byte_multiple must keep W % 128 == 0, i.e. be a
+        multiple of 4096).
 
         The TPU u8 tile is (32, 128) sublanes x lanes; with the
         sublane dim exactly 32 and W a multiple of 128 the HBM
@@ -208,10 +212,21 @@ class KmerIndex:
         run of 32*W bytes.  The old (R, 1, Sb) kernel view forced a
         T(4,128)(4,1) layout that padded the size-1 dim 4x — 59GB
         for the 14.7GB SILVA-NR index (the r4 single-chip OOM) and
-        ~4x the DMA bytes per row."""
+        ~4x the DMA bytes per row.
+
+        The multi-chip path passes byte_multiple = 4096 * mp so the
+        lane axis splits evenly over "mp" index shards, each shard a
+        contiguous, locally exact-size tiled block
+        (parallel/sharding.sharded_search)."""
+        if byte_multiple % 4096:
+            raise ValueError(
+                f"byte_multiple must be a multiple of 4096 "
+                f"(got {byte_multiple})"
+            )
         P = self.dense_packed()
         Sb = P.shape[1]
-        Sb4 = -(-max(Sb, 4096) // 4096) * 4096
+        m = byte_multiple
+        Sb4 = -(-max(Sb, m) // m) * m
         if Sb4 != Sb:
             P = np.pad(P, ((0, 0), (0, Sb4 - Sb)))
         return np.ascontiguousarray(P).reshape(

@@ -309,7 +309,17 @@ def build_profiles_packed_batch(
     window [lo, hi) or None for full — members restrict to their
     in-window base subranges (sina_member_ranges), so the profile
     and its cols array cover the window only.  An amplicon batch's
-    profiles otherwise build ~70% out-of-window bases."""
+    profiles otherwise build ~70% out-of-window bases.
+
+    Known one-column edge deviation vs the full build: at the
+    window's FIRST occupied column, members whose last pre-window
+    base sits at the family's occupied column immediately below
+    `lo` would count as gap-OPEN there in a full build; the clipped
+    ranges lose that context, so they count as gap-extend instead
+    (the full build's rank-0 column has the same all-extend
+    property).  Affects the deletion cost of exactly one lattice
+    column (the union window's first), i.e. deleting it can be
+    cheaper by at most gap_open - gap_ext; recorded in PARITY.md."""
     from .. import native
 
     B = len(families)

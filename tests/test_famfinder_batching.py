@@ -143,3 +143,37 @@ def test_pallas_fallback_warns_once(monkeypatch, caplog):
     msgs = [r for r in caplog.records if "Pallas" in r.getMessage()]
     assert len(msgs) == 1
     assert "boom" in msgs[0].getMessage()
+
+
+def test_fast_policy_matches_object_path(db, monkeypatch):
+    """The vectorized candidate filter (_filter_fast/_match_fast)
+    must make identical keep decisions to the Sequence-object loop —
+    including escalation, fs_req_gaps downstream, and constraint
+    configs (fs_cover_gene / fs_req_full)."""
+    for cfg in (
+        FamFinderConfig(fs_min=8, fs_max=8, fs_req_gaps=1),
+        FamFinderConfig(
+            fs_min=4, fs_max=6, fs_req_full=2, fs_full_len=450,
+            fs_min_len=100,
+        ),
+        FamFinderConfig(
+            fs_min=4, fs_max=4, fs_cover_gene=1,
+            gene_start=5, gene_end=700,
+        ),
+    ):
+        ff = FamFinder(db, cfg)
+        assert ff._fast_policy_ok()
+        queries = [
+            unaligned_copy(s) for s in db.sequences[:12]
+        ]
+        fast = ff.process_batch([q.copy() for q in queries])
+        monkeypatch.setattr(
+            FamFinder, "_fast_policy_ok", lambda self: False
+        )
+        slow = ff.process_batch([q.copy() for q in queries])
+        monkeypatch.undo()
+        for a, b in zip(fast, slow):
+            assert a.failed == b.failed
+            assert [
+                (s, r.name) for s, r in a.family
+            ] == [(s, r.name) for s, r in b.family]

@@ -293,3 +293,69 @@ def test_native_build_graphs_matches_python(monkeypatch):
         np.testing.assert_array_equal(ref.is_start, g.is_start)
         np.testing.assert_array_equal(ref.is_end, g.is_end)
         np.testing.assert_array_equal(ref.max_insert, g.max_insert)
+
+
+def test_native_contains_matches_string_path(lib):
+    """sina_contains parity with try_copy_alignment's normalized
+    base-string containment (upper + U->T): offsets agree and the
+    copy-path results are identical with and without the native
+    batch (align._containment_batch)."""
+    from sina_tpu import testing
+    from sina_tpu.align import (
+        AlignerConfig, _containment_batch, try_copy_alignment,
+    )
+    from sina_tpu.testing import unaligned_copy
+
+    db = testing.make_reference(
+        n_seqs=40, n_core=120, width=240, seed=5
+    )
+    db.ensure_flat()
+    # queries: exact duplicates, substrings, and non-members
+    queries, families = [], []
+    for i in range(12):
+        fam = [
+            (float(40 - j), db.sequences[(i * 3 + j) % 40])
+            for j in range(6)
+        ]
+        q = unaligned_copy(db.sequences[i % 40])
+        if i % 3 == 1:
+            # substring query (strictly contained)
+            q.masks = q.masks[3 : len(q.masks) - 4]
+            q.positions = np.arange(len(q.masks), dtype=np.uint32)
+        elif i % 3 == 2:
+            # mutate one base -> usually not contained
+            q.masks = q.masks.copy()
+            q.masks[5] = 1 if q.masks[5] != 1 else 2
+        queries.append(q)
+        families.append(fam)
+    cont = _containment_batch(queries, families)
+    assert cont is not None, "native containment unavailable"
+    cfg = AlignerConfig()
+    for i, (q, fam) in enumerate(zip(queries, families)):
+        log_a, log_b = [], []
+        got_a, fam_a = try_copy_alignment(
+            q, list(fam), cfg, log_a, offsets=cont[i]
+        )
+        got_b, fam_b = try_copy_alignment(
+            q, list(fam), cfg, log_b
+        )
+        assert (got_a is None) == (got_b is None)
+        if got_a is not None:
+            np.testing.assert_array_equal(
+                got_a.positions, got_b.positions
+            )
+            assert log_a == log_b
+        assert [it[1] for it in fam_a] == [it[1] for it in fam_b]
+    # realign mode drops the same members
+    cfg_r = AlignerConfig(realign=True)
+    for i, (q, fam) in enumerate(zip(queries, families)):
+        log_a, log_b = [], []
+        got_a, fam_a = try_copy_alignment(
+            q, list(fam), cfg_r, log_a, offsets=cont[i]
+        )
+        got_b, fam_b = try_copy_alignment(
+            q, list(fam), cfg_r, log_b
+        )
+        assert got_a is None and got_b is None
+        assert [it[1] for it in fam_a] == [it[1] for it in fam_b]
+        assert log_a == log_b
