@@ -639,25 +639,47 @@ class FamFinder:
         so callers can overlap it with other device/host work; pass
         the handle to process_batch(queries, handle=...)."""
         cfg = self.cfg
-        if not queries or cfg.turn != TURN_NONE or (
-            self._mesh is not None
-        ):
-            return None  # turn/sharded paths fetch eagerly
+        if not queries or cfg.turn != TURN_NONE:
+            return None  # turn path fetches eagerly
         t = get_timer("Kmer Search")
         with t.section("extract kmers"):
             uniq, inv = self._dedupe_masks([q.masks for q in queries])
             kmers, _ = query_kmers_padded(
                 uniq, self.index.k, fast=self.index.fast,
             )
-            # row-bucket pad so neither dedupe nor a short batch mints
-            # a new device shape (compiles cost ~1s+ on tunneled
-            # backends)
-            kmers = self._pad_rows(kmers, self._matrix().shape[0] - 1)
+            P = self._matrix()
+            if self._mesh is None:
+                # row-bucket pad so neither dedupe nor a short batch
+                # mints a new device shape (compiles cost ~1s+ on
+                # tunneled backends)
+                kmers = self._pad_rows(kmers, P.shape[0] - 1)
         k0 = min(
             max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
         )
         with t.section("score dispatch"):
-            handle = _score_topk_compiled(k0)(self._matrix(), kmers)
+            if self._mesh is not None:
+                # sharded dispatch: same handle protocol, so the
+                # 3-deep pipeline overlaps identically on a mesh
+                from .parallel.sharding import sharded_search
+                import jax
+
+                if k0 not in self._sharded_fns:
+                    self._sharded_fns[k0] = sharded_search(
+                        self._mesh, k0
+                    )
+                dp = self._mesh.shape["dp"]
+                B = kmers.shape[0]
+                B_pad = -(-B // dp) * dp
+                if B_pad != B:
+                    kmers = np.pad(
+                        kmers, ((0, B_pad - B), (0, 0)),
+                        constant_values=P.shape[0] - 1,
+                    )
+                vals, ids = self._sharded_fns[k0](
+                    P, jax.numpy.asarray(kmers)
+                )
+                return (vals, ids, B), k0, inv
+            handle = _score_topk_compiled(k0)(P, kmers)
         return handle, k0, inv
 
     def process_batch(
@@ -674,9 +696,14 @@ class FamFinder:
             packed, k0, inv = handle
             t = get_timer("Kmer Search")
             with t.section("fetch topk"):
-                packed = np.asarray(packed)
+                if isinstance(packed, tuple):  # sharded (vals, ids)
+                    dv, di, Bu = packed
+                    vals = np.asarray(dv)[:Bu]
+                    ids = np.asarray(di)[:Bu]
+                else:
+                    packed = np.asarray(packed)
+                    vals, ids = packed[:, :k0], packed[:, k0:]
             with t.section("policy"):
-                vals, ids = packed[:, :k0], packed[:, k0:]
                 pad = ids >= self.index.n_seqs
                 vals = np.where(pad, -1, vals)
                 ids = np.where(pad, 0, ids)

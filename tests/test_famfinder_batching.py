@@ -119,7 +119,15 @@ def test_duplicate_queries_submit_handle(db):
     qs = [unaligned_copy(db.sequences[i % 8]) for i in range(64)]
     handle = ff.submit_batch(qs)
     packed, k0, inv = handle
-    assert packed.shape[0] == 16  # 8 unique -> 16-row bucket, not 64
+    if isinstance(packed, tuple):
+        # sharded (mesh) submit: deduped rows padded to the dp
+        # multiple only (shard_map shapes are already stable)
+        vals, ids, n_uniq = packed
+        assert n_uniq == 8
+        assert vals.shape[0] <= 16
+    else:
+        # 8 unique -> 16-row bucket, not 64
+        assert packed.shape[0] == 16
     assert inv.max() == 7
     out = ff.process_batch(qs, handle=handle)
     assert all(r is not None and not r.failed for r in out)
