@@ -258,6 +258,13 @@ class KmerIndex:
             )
         key = (packed, tiled)
         if key not in self._device:
+            # NOTE: the tiled matrix must ship as a HOST array via
+            # device_put.  A device-side pad+reshape upload (saving
+            # the ~30% tiled-pad bytes over the tunnel) was measured
+            # at 43 s/batch steady state: the reshape output's layout
+            # differed from the cached scoring executable's input
+            # spec, so XLA re-laid-out the 4.3GB matrix on EVERY
+            # call (r5, /tmp/r5_100k_c.log).
             if packed and tiled:
                 arr = self.dense_packed_tiled()
             elif packed:
