@@ -750,6 +750,28 @@ def align_dispatch(
             )
         buckets.setdefault(key, []).append(item)
 
+    if engine != "graph" and len(buckets) > 1:
+        # merge near-size profile buckets into one padded launch:
+        # each device call pays a fixed dispatch + a traceback fori
+        # whose length tracks the PADDED shape (~40ms at C=2048 —
+        # tools/prof_profiledp.py), so 2-3 near-identical buckets
+        # per batch cost more in launches than the padding they
+        # avoid.  Rows carry their real sizes (cr), so merging only
+        # changes padding, not results.  Distant classes (amplicon
+        # 512-col windows vs full-length 2048 rows) stay separate —
+        # there the padding would dominate.
+        keys = list(buckets)
+        cmax = max(k[0] for k in keys)
+        mmax = max(k[1] for k in keys)
+        if all(
+            4 * k[0] >= 3 * cmax and 4 * k[1] >= 3 * mmax
+            for k in keys
+        ):
+            merged: list = []
+            for k in keys:
+                merged.extend(buckets[k])
+            buckets = {(cmax, mmax): merged}
+
     params = cfg.dp_params()
     thunks = []
     for (npad, mpad), items in buckets.items():
