@@ -608,7 +608,14 @@ def align_dispatch(
     graph_cache: dict[tuple, LinearGraph] = {}
     _tcopy = get_timer("Aligner").section("copy path")
     _tcopy.__enter__()
-    cont = _containment_batch(queries, families)
+    with get_timer("Aligner").section("copy: containment"):
+        cont = _containment_batch(queries, families)
+    if cont is None and any(families):
+        # the native batch declined (no lib / mixed or missing flat
+        # stores) — the per-query string path below is ~10x the host
+        # cost at SILVA scale, so make that visible in the timings
+        get_timer("Aligner").sections["copy: string fallback"] += 0.0
+        get_timer("Aligner").counts["copy: string fallback"] += 1
     for idx, (query, family) in enumerate(zip(queries, families)):
         if not family:
             continue
@@ -637,10 +644,12 @@ def align_dispatch(
             # pass after this loop (build_graphs_batch)
             gkey = tuple(id(r) for r in refs)
             template = graph_cache.get(gkey)
-            cw = np.ones(refs[0].width + 2, dtype=np.float32)
             if col_weights_list[idx] is not None:
+                cw = np.ones(refs[0].width + 2, dtype=np.float32)
                 w = col_weights_list[idx]
                 cw[: len(w)] = w
+            else:
+                cw = _ones_cw(refs[0].width)
             n_shape = template.n_nodes if template is not None else -1
         else:
             # profile construction happens batched per bucket; only
@@ -648,7 +657,7 @@ def align_dispatch(
             # is computed in one batched pass after this loop
             n_shape = -1
             template = None
-            cw = np.ones(refs[0].width + 2, dtype=np.float32)
+            cw = _ones_cw(refs[0].width)
         q = query.copy()
         if cfg.lowercase != LOWERCASE_ORIGINAL:
             q.upper_case_all()
@@ -919,6 +928,23 @@ class _StackArena:
 
 
 _stack_arena = _StackArena()
+
+_ones_cw_cache: dict[int, np.ndarray] = {}
+
+
+def _ones_cw(width: int) -> np.ndarray:
+    """Shared all-ones column-weight array (read-only by contract).
+
+    The dispatch loop used to allocate np.ones(width + 2) PER QUERY;
+    at SILVA width (50k) that is 25MB of freshly-faulted pages per
+    128-batch and was the variable bulk of the "copy path" timing
+    (0.14-0.31 s/batch across r5 100k runs)."""
+    a = _ones_cw_cache.get(width)
+    if a is None:
+        a = np.ones(width + 2, dtype=np.float32)
+        _ones_cw_cache.clear()  # one width per db in practice
+        _ones_cw_cache[width] = a
+    return a
 
 
 def _dispatch_graph_bucket(
