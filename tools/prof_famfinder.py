@@ -114,6 +114,7 @@ def main() -> int:
             return jnp.concatenate([v, i], axis=1)
         timeit("fused TILED score+grouped_topk",
                jax.jit(fused_tiled), P3, kmers)
+        del P3  # both layouts at SILVA scale exceed HBM headroom
 
     scores = kk.kmer_scores_packed_pallas(P, kmers)
     jax.block_until_ready(scores)
