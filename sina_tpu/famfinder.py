@@ -31,38 +31,21 @@ import functools as _functools
 
 @_functools.lru_cache(maxsize=8)
 def _score_topk_compiled(k: int):
-    import os
-
     import jax
     import jax.numpy as jnp
 
-    from .ops.kmer_kernel import (
-        TWOLEVEL_MIN_BYTES, grouped_top_k, kmer_scores_topk_twolevel,
-    )
-
-    two_level = os.environ.get("SINA_TPU_TWOLEVEL") == "1"
+    from .ops.kmer_kernel import grouped_top_k
 
     def fn(P, kmers):
-        if (
-            two_level
-            and P.dtype == jnp.uint8
-            and P.shape[1] >= TWOLEVEL_MIN_BYTES
-        ):
-            # DMA-bound regime (opt-in, SINA_TPU_TWOLEVEL=1): coarse
-            # byte-popcount prefilter on a k-mer subsample + exact
-            # rescore of the candidate groups; head-exact, tail may
-            # swap near the tie floor (see kmer_scores_topk_twolevel)
-            vals, ids = kmer_scores_topk_twolevel(P, kmers, k)
+        scores = kmer_scores(P, kmers)
+        if scores.shape[1] >= 32768:
+            # SILVA scale: lax.top_k over the full sequence axis
+            # is a large share of the step; the group-max
+            # hierarchy is exact (values provably identical) and
+            # 8x narrower
+            vals, ids = grouped_top_k(scores, k)
         else:
-            scores = kmer_scores(P, kmers)
-            if scores.shape[1] >= 32768:
-                # SILVA scale: lax.top_k over the full sequence axis
-                # is a large share of the step; the group-max
-                # hierarchy is exact (values provably identical) and
-                # 8x narrower
-                vals, ids = grouped_top_k(scores, k)
-            else:
-                vals, ids = jax.lax.top_k(scores, k)
+            vals, ids = jax.lax.top_k(scores, k)
         # single packed output = single device->host round-trip
         return jnp.concatenate([vals, ids], axis=1)
 
@@ -167,18 +150,7 @@ class FamFinder:
                     self._mesh, jnp.asarray(P)
                 )
             else:
-                import os
-
-                # the two-level scorer's byte prefilter + element
-                # gather need the 2D byte layout; the default tiled
-                # (R, 32, W) form is the exact-size fast path
-                self._P = self.index.device_matrix(
-                    tiled=(
-                        False
-                        if os.environ.get("SINA_TPU_TWOLEVEL") == "1"
-                        else None
-                    )
-                )
+                self._P = self.index.device_matrix()
         return self._P
 
     @staticmethod

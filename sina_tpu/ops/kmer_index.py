@@ -240,8 +240,7 @@ class KmerIndex:
         default.  On TPU backends the packed matrix ships in the
         exact-size tiled (R, 32, W) layout (dense_packed_tiled);
         elsewhere as the plain (R, Sb) byte matrix.  `tiled`
-        overrides the backend default (the two-level scorer needs
-        the 2D form)."""
+        overrides the backend default."""
         import jax
         import jax.numpy as jnp
 

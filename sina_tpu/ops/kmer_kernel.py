@@ -337,208 +337,13 @@ def kmer_scores_packed_tiled_pallas(P3, kmers, interpret=False):
     return out.transpose(0, 2, 3, 1).reshape(B, 32 * W * 8)
 
 
-def _popcount_u8_i32(x):
-    """SWAR popcount of an int32 holding a byte value (0..255):
-    6 VPU ops vs the 24 of a full 8-bit unpack-sum."""
-    x = x - ((x >> 1) & 0x55)
-    x = (x & 0x33) + ((x >> 2) & 0x33)
-    return (x + (x >> 4)) & 0x0F
-
-
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def kmer_scores_bytes_xla(Pp, kmers, chunk: int = 32):
-    """Coarse byte-group scoring over the bitpacked matrix:
-    out[b, j] = Σ_l popcount(Pp[kmer[b, l], j]) — the SUM of the 8
-    packed sequences' scores in byte group j.  (B, Sb) int32."""
-    B, L = kmers.shape
-    Sb = Pp.shape[1]
-    pad = (-L) % chunk
-    kmers = jnp.pad(
-        kmers, ((0, 0), (0, pad)), constant_values=Pp.shape[0] - 1
-    )
-    nchunks = (L + pad) // chunk
-    kc = kmers.reshape(B, nchunks, chunk).transpose(1, 0, 2)
-
-    def step(acc, kk):
-        rows = jnp.take(Pp, kk, axis=0).astype(jnp.int32)
-        return acc + _popcount_u8_i32(rows).sum(axis=1), None
-
-    acc0 = (
-        jnp.zeros((B, Sb), dtype=jnp.int32)
-        + (kmers[:, :1] * 0)
-        + (Pp[:1, :1].astype(jnp.int32) * 0)
-    )
-    acc, _ = jax.lax.scan(step, acc0, kc)
-    return acc
-
-
-def _pallas_kernel_bytes(kmer_ref, *refs):
-    from jax.experimental import pallas as pl
-
-    rows = refs[:_KMER_G]
-    out_ref = refs[_KMER_G]
-    l = pl.program_id(1)
-
-    @pl.when(l == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    acc = _popcount_u8_i32(rows[0][0, 0, :].astype(jnp.int32))
-    for r in rows[1:]:
-        acc += _popcount_u8_i32(r[0, 0, :].astype(jnp.int32))
-    out_ref[0, 0, :] += acc
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def kmer_scores_bytes_pallas(Pp, kmers, interpret: bool = False):
-    """TPU path of the coarse byte-group scorer: same row-DMA
-    structure as the packed kernel but popcount-accumulates into a
-    (1, 1, Sb) output row — 8x less accumulator traffic and ~4x
-    fewer VPU ops than the full per-bit unpack.  Used as the
-    prefilter stage of the two-level scorer at SILVA scale."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    B, L = kmers.shape
-    G = _KMER_G
-    pad = (-L) % G
-    if pad:
-        kmers = jnp.pad(
-            kmers, ((0, 0), (0, pad)),
-            constant_values=Pp.shape[0] - 1,
-        )
-        L += pad
-    Sb = Pp.shape[1]
-    P3 = Pp.reshape(Pp.shape[0], 1, Sb)
-
-    def mk_index(g):
-        return lambda b, l, kref: (kref[b, l * G + g], 0, 0)
-
-    bk = _batch_chunks(B, L)
-    outs = []
-    for s in range(0, B, bk):
-        kc = jax.lax.dynamic_slice_in_dim(kmers, s, bk, 0) if (
-            s + bk <= B
-        ) else jnp.pad(
-            kmers[s:], ((0, s + bk - B), (0, 0)),
-            constant_values=Pp.shape[0] - 1,
-        )
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(bk, L // G),
-            in_specs=[
-                pl.BlockSpec((1, 1, Sb), mk_index(g))
-                for g in range(G)
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, Sb), lambda b, l, kref: (b, 0, 0)
-            ),
-        )
-        outs.append(
-            pl.pallas_call(
-                _pallas_kernel_bytes,
-                grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct(
-                    (bk, 1, Sb), jnp.int32
-                ),
-                compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("arbitrary", "arbitrary"),
-                ),
-                interpret=interpret,
-            )(kc, *([P3] * G))
-        )
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
-    return out[:B].reshape(B, Sb)
-
-
-# Two-level scorer knobs (SILVA-scale famfinder): the prefilter
-# subsamples every STRIDE-th query k-mer and keeps the C_BYTES
-# best-scoring byte groups (x8 sequences) per query for the exact
-# pass.  Engages above TWOLEVEL_MIN_BYTES packed columns (32k seqs);
-# below that the single-level kernel's full DMA is already cheap.
-TWOLEVEL_MIN_BYTES = 4096
-TWOLEVEL_STRIDE = 4
-TWOLEVEL_C_BYTES = 1024
-
-
-def kmer_scores_topk_twolevel(
-    Pp, kmers, k_top: int,
-    stride: int = TWOLEVEL_STRIDE,
-    c_bytes: int = TWOLEVEL_C_BYTES,
-    interpret: bool | None = None,
-):
-    """Two-level score+top-k over the bitpacked matrix (the famfinder
-    wall-breaker at SILVA scale, VERDICT r3 #6): the single-level
-    kernel reads every packed row in full per query k-mer, so per-row
-    DMA grows linearly with the reference count
-    (kmer_search.cpp:366-420's counter loop has the same property).
-
-    Level 1 scores a k-mer subsample against ALL byte groups with the
-    cheap popcount kernel and keeps the top `c_bytes` groups (x8 seqs)
-    per query; level 2 computes EXACT full-k-mer scores for those
-    candidates only (an element gather: B x L x c_bytes bytes instead
-    of B x L x Sb) and top-ks within them.
-
-    Selection is exact over the candidate set; a true top-k sequence
-    is missed only if its byte group's subsampled SUM falls below
-    `c_bytes` other groups — with c_bytes*8 candidates >> k_top this
-    is a tail event (validated against the exact kernel in
-    tests/test_kmer_twolevel.py and on hardware).  Ties resolve by
-    candidate rank, not lowest id."""
-    B, L = kmers.shape
-    Sb = Pp.shape[1]
-    c_bytes = min(c_bytes, Sb)
-    use_pallas = jax.default_backend() in ("tpu", "axon")
-    if interpret is None:
-        interp = not use_pallas
-    else:
-        interp = interpret
-    sub = kmers[:, ::stride]
-    if use_pallas or interp:
-        bscores = kmer_scores_bytes_pallas(Pp, sub, interpret=interp)
-    else:
-        bscores = kmer_scores_bytes_xla(Pp, sub)
-    _, cand = jax.lax.top_k(bscores, c_bytes)  # (B, C) byte ids
-    vals, sel = _twolevel_exact(Pp, kmers, cand, k_top)
-    ids = (
-        jnp.take_along_axis(cand, sel // 8, axis=1) * 8 + sel % 8
-    )
-    return vals, ids
-
-
-@functools.partial(jax.jit, static_argnames=("k_top", "chunk"))
-def _twolevel_exact(Pp, kmers, cand, k_top: int, chunk: int = 32):
-    """Exact per-sequence scores restricted to candidate byte groups:
-    gathers Pp[kmer[b,l], cand[b,c]] in L-chunks, unpacks, sums."""
-    B, L = kmers.shape
-    C = cand.shape[1]
-    pad = (-L) % chunk
-    kmers = jnp.pad(
-        kmers, ((0, 0), (0, pad)), constant_values=Pp.shape[0] - 1
-    )
-    nchunks = (L + pad) // chunk
-    kc = kmers.reshape(B, nchunks, chunk).transpose(1, 0, 2)
-    bitw = jnp.arange(8, dtype=jnp.uint8)
-
-    def step(acc, kk):
-        # (B, chunk, C) byte gather via 2D advanced indexing — a
-        # flattened row*Sb+col index overflows int32 above ~170k
-        # refs (262145 rows x Sb bytes > 2^31)
-        g = Pp[kk[:, :, None], cand[:, None, :]]
-        bits = (g[..., None] >> bitw) & jnp.uint8(1)
-        return acc + bits.astype(jnp.int32).sum(axis=1), None
-
-    acc0 = (
-        jnp.zeros((B, C, 8), dtype=jnp.int32)
-        + (kmers[:, :1, None] * 0)
-        + (cand[:, :1, None] * 0)
-        + (Pp[:1, :1, None].astype(jnp.int32) * 0)
-    )
-    acc, _ = jax.lax.scan(step, acc0, kc)
-    scores = acc.reshape(B, C * 8)
-    vals, sel = jax.lax.top_k(scores, min(k_top, C * 8))
-    return vals, sel
-
+# A two-level byte-popcount prefilter scorer (SINA_TPU_TWOLEVEL,
+# rounds 3-4) lived here; the r5 hardware A/B retired it: 1896.5 ms
+# vs the default fused tiled score+grouped-top-k's 33.3 ms per
+# 128x512 call at 100k refs (tools/prof_famfinder.py), and its
+# required 2D layout cannot fit 450k refs next to the gather
+# workspace.  The exact tiled kernel above IS the DMA-bound-regime
+# answer.
 
 _pallas_fallback_warned = False
 

@@ -134,14 +134,8 @@ def main() -> int:
 
     timeit("fused score+topk", jax.jit(fused), P, kmers)
 
-    # two-level byte-prefilter scorer (SINA_TPU_TWOLEVEL) vs the
-    # default fused tiled path — the VERDICT r4 #6 hardware A/B
-    def twolevel(P, kmers):
-        v, i = kk.kmer_scores_topk_twolevel(P, kmers, args.topk)
-        return jnp.concatenate([v, i], axis=1)
-
-    timeit("two-level score+topk (2D layout)", jax.jit(twolevel),
-           P, kmers)
+    # (The two-level byte-prefilter scorer was A/B'd here in r5 and
+    # retired: 1896.5 ms vs the fused tiled path's 33.3 ms at 100k.)
 
     if args.g:
         kk._KMER_G = args.g
