@@ -154,7 +154,19 @@ def main() -> int:
             fs_req_gaps=1,
         ),
     )
-    finder._matrix()  # place index in device memory
+    # place the index in device memory and BLOCK until it is truly
+    # resident: device_put is async, so without this the multi-GB
+    # tail of the upload completes inside the first famfinder call
+    # and masquerades as warmup (the r4/r5 "unexplained 250-460s
+    # warmup with hits=N misses=0")
+    P_dev = finder._matrix()
+    import jax
+    import numpy as _np
+
+    jax.block_until_ready(P_dev)
+    # block_until_ready is unreliable over the tunneled backend
+    # (tools/prof_*.py note) — fetch a few bytes to force completion
+    _np.asarray(P_dev.reshape(-1)[:4])
     t_index = time.time() - t0
 
     if args.search:
