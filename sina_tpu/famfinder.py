@@ -267,12 +267,15 @@ class FamFinder:
         `continue`s without touching state."""
         cfg = self.cfg
         lens, pos0, posN = self._seq_stats()
-        vals = vals[:limit]
-        ids = ids[:limit]
+        # drop invalid (-1 padding) BEFORE the limit slice, like the
+        # object path's ranked-list construction: padding rows can
+        # interleave with real zero-score candidates at the tie floor
         valid = vals >= 0
         if not valid.all():
             vals = vals[valid]
             ids = ids[valid]
+        vals = vals[:limit]
+        ids = ids[:limit]
         l = lens[ids]
         keepable = l >= cfg.fs_min_len
         is_full = l >= cfg.fs_full_len
