@@ -165,8 +165,10 @@ def main() -> int:
 
     jax.block_until_ready(P_dev)
     # block_until_ready is unreliable over the tunneled backend
-    # (tools/prof_*.py note) — fetch a few bytes to force completion
-    _np.asarray(P_dev.reshape(-1)[:4])
+    # (tools/prof_*.py note) — fetch a few bytes to force completion.
+    # Plain slicing only: reshape(-1) materialised a full copy of the
+    # 15GB index at 450k and OOM'd the chip.
+    _np.asarray(P_dev[:1, :1])
     t_index = time.time() - t0
 
     if args.search:
