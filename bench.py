@@ -296,6 +296,7 @@ def main() -> int:
                 handles.append(finder.submit_batch(batches[bi + 1]))
         with tp.section("ff policy"):
             results = finder.process_batch(batch, handle=handles[bi])
+        handles[bi] = None  # drop the device top-k buffers (HBM)
         with tp.section("align dispatch"):
             al_q.append(
                 align_dispatch(
@@ -307,12 +308,16 @@ def main() -> int:
         if len(al_q) >= 2:
             with tp.section("finalize"):
                 n_done += sum(
-                    1 for a in align_finalize(al_q.popleft()) if a
+                    1
+                    for a in align_finalize(al_q.popleft())
+                    if a is not None
                 )
     while al_q:
         with tp.section("finalize"):
             n_done += sum(
-                1 for a in align_finalize(al_q.popleft()) if a
+                1
+                for a in align_finalize(al_q.popleft())
+                if a is not None
             )
     elapsed = time.time() - t0
     n_timed = len(queries) - args.batch_size

@@ -159,16 +159,10 @@ def _containment_batch(queries, families):
     if not idxs:
         return None
     seqs = [it[1] for i in idxs for it in families[i]]
-    flats = [getattr(s, "_flat_ref", None) for s in seqs]
-    r0 = flats[0]
-    if r0 is None or not all(
-        f is not None and f[0] is r0[0] and f[4] is s.positions
-        for f, s in zip(flats, seqs)
-    ):
+    fr = _flat_ranges(seqs)
+    if fr is None:
         return None
-    n = len(seqs)
-    starts = np.fromiter((f[2] for f in flats), np.int64, n)
-    counts = np.fromiter((f[3] - f[2] for f in flats), np.int64, n)
+    starts, counts, r0 = fr
     fam_sizes = np.array(
         [len(families[i]) for i in idxs], np.int64
     )
@@ -333,6 +327,25 @@ def _bucket(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
 
+def _flat_ranges(seqs: list[Sequence]):
+    """(starts, counts, store_tuple) of the members' base ranges in
+    their SHARED flat store, or None when any member lacks a current
+    `_flat_ref` stamp or the stamps span different stores.  The one
+    validation used by every flat-store fast path in this module
+    (count-cols, windowed counts, containment)."""
+    flats = [getattr(s, "_flat_ref", None) for s in seqs]
+    r0 = flats[0] if flats else None
+    if r0 is None or not all(
+        f is not None and f[0] is r0[0] and f[4] is s.positions
+        for f, s in zip(flats, seqs)
+    ):
+        return None
+    n = len(seqs)
+    starts = np.fromiter((f[2] for f in flats), np.int64, n)
+    ends = np.fromiter((f[3] for f in flats), np.int64, n)
+    return starts, ends - starts, r0
+
+
 def _count_cols_batch(
     fam_refs: list[list[Sequence]],
 ) -> np.ndarray:
@@ -343,20 +356,14 @@ def _count_cols_batch(
     from . import native
 
     seqs = [r for refs in fam_refs for r in refs]
-    flats = [getattr(s, "_flat_ref", None) for s in seqs]
-    r0 = flats[0] if flats else None
-    if r0 is not None and all(
-        f is not None and f[0] is r0[0] and f[4] is s.positions
-        for f, s in zip(flats, seqs)
-    ):
-        n = len(seqs)
-        starts = np.fromiter((f[2] for f in flats), np.int64, n)
-        ends = np.fromiter((f[3] for f in flats), np.int64, n)
+    fr = _flat_ranges(seqs)
+    if fr is not None:
+        starts, counts, r0 = fr
         fam_sizes = np.array(
             [len(refs) for refs in fam_refs], np.int64
         )
         out = native.count_cols(
-            r0[0], starts, ends - starts, fam_sizes,
+            r0[0], starts, counts, fam_sizes,
             fam_refs[0][0].width,
         )
         if out is not None:
@@ -408,20 +415,14 @@ def _count_cols_range_batch(
     from . import native
 
     seqs = [r for refs in fam_refs for r in refs]
-    flats = [getattr(s, "_flat_ref", None) for s in seqs]
-    r0 = flats[0] if flats else None
-    if r0 is not None and all(
-        f is not None and f[0] is r0[0] and f[4] is s.positions
-        for f, s in zip(flats, seqs)
-    ):
-        n = len(seqs)
-        starts = np.fromiter((f[2] for f in flats), np.int64, n)
-        ends = np.fromiter((f[3] for f in flats), np.int64, n)
+    fr = _flat_ranges(seqs)
+    if fr is not None:
+        starts, counts, r0 = fr
         fam_sizes = np.array(
             [len(refs) for refs in fam_refs], np.int64
         )
         return native.count_cols_range(
-            r0[0], starts, ends - starts, fam_sizes, lo, hi,
+            r0[0], starts, counts, fam_sizes, lo, hi,
             fam_refs[0][0].width,
         )
     return None
@@ -772,7 +773,11 @@ def align_dispatch(
         keys = list(buckets)
         cmax = max(k[0] for k in keys)
         mmax = max(k[1] for k in keys)
-        if all(
+        # merge ONLY into an already-existing key: the combined
+        # (cmax, mmax) of two diagonal classes (e.g. (1536, 2048) +
+        # (2048, 1536)) would be a shape prewarm never compiled, and
+        # a mid-run compile costs minutes on tunneled backends
+        if (cmax, mmax) in buckets and all(
             4 * k[0] >= 3 * cmax and 4 * k[1] >= 3 * mmax
             for k in keys
         ):
@@ -899,20 +904,20 @@ class _StackArena:
     dispatch made the GraphDP "stack" section swing 0.08-0.7 s/call
     on the bench host purely from allocator behavior (large mallocs
     mmap fresh pages, freeing returns them to the OS, the next call
-    refaults them — VERDICT r4 weak #4).  Buffers rotate over BANKS
-    banks so a buffer is reused only after its contents were shipped
-    to the device: the align pipeline runs at most 2 dispatches deep
-    and a dispatch rarely has >2 graph shape buckets."""
-
-    BANKS = 4
+    refaults them — VERDICT r4 weak #4).  Banks are explicitly
+    acquired per dispatch and released by that dispatch's finalize
+    closure, so a buffer can never be refilled while a device copy
+    of it might still be pending — correctness does not depend on
+    any assumed pipeline depth or buckets-per-batch bound."""
 
     def __init__(self):
-        self._banks = [dict() for _ in range(self.BANKS)]
-        self._i = 0
+        self._free: list[dict] = []
 
-    def next_bank(self) -> dict:
-        self._i = (self._i + 1) % self.BANKS
-        return self._banks[self._i]
+    def acquire(self) -> dict:
+        return self._free.pop() if self._free else dict()
+
+    def release(self, bank: dict) -> None:
+        self._free.append(bank)
 
     @staticmethod
     def take(bank: dict, key: str, shape, dtype):
@@ -942,6 +947,7 @@ def _ones_cw(width: int) -> np.ndarray:
     a = _ones_cw_cache.get(width)
     if a is None:
         a = np.ones(width + 2, dtype=np.float32)
+        a.flags.writeable = False  # enforce the read-only contract
         _ones_cw_cache.clear()  # one width per db in practice
         _ones_cw_cache[width] = a
     return a
@@ -997,7 +1003,7 @@ def _dispatch_graph_bucket(
         width0 = items[0][2].width
         P = max(it[2].preds.shape[1] for it in items)
         P = -(-P // 4) * 4
-        bank = _stack_arena.next_bank()
+        bank = _stack_arena.acquire()
         pos_s = _StackArena.take(bank, "pos", (B, npad), np.int32)
         pos_s.fill(width0 - 1)
         mask_s = _StackArena.take(bank, "mask", (B, npad), np.int32)
@@ -1106,6 +1112,9 @@ def _dispatch_graph_bucket(
     def finalize():
         with tg.section("fetch"):
             emit, bj, bi, raw = (np.asarray(a) for a in out)
+        # results fetched => every h2d copy of this dispatch's plane
+        # buffers completed long ago; safe to recycle the bank
+        _stack_arena.release(bank)
         with tg.section("finish"):
             for b, it in enumerate(items):
                 idx, q, graph, cw, refs, log = it[:6]

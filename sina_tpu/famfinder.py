@@ -146,9 +146,11 @@ class FamFinder:
                     Sb_pad = -(-Sb // mp) * mp
                     if Sb_pad != Sb:
                         P = np.pad(P, ((0, 0), (0, Sb_pad - Sb)))
-                self._P = shard_index_matrix(
-                    self._mesh, jnp.asarray(P)
-                )
+                # hand device_put the HOST array: jnp.asarray first
+                # would commit the full matrix to device 0 (14.7GB at
+                # 450k — guaranteed OOM on a 16GB chip) before the
+                # sharded placement
+                self._P = shard_index_matrix(self._mesh, P)
             else:
                 self._P = self.index.device_matrix()
         return self._P
@@ -211,10 +213,15 @@ class FamFinder:
                     )
                 dp = self._mesh.shape["dp"]
                 B = kmers.shape[0]
-                B_pad = -(-B // dp) * dp
-                if B_pad != B:
+                # row-bucket first (per-batch row counts would mint
+                # a fresh shard_map trace per batch), then pad to a
+                # dp multiple for the mesh split
+                kmers = self._pad_rows(kmers, P.shape[0] - 1)
+                B_pad = -(-kmers.shape[0] // dp) * dp
+                if B_pad != kmers.shape[0]:
                     kmers = np.pad(
-                        kmers, ((0, B_pad - B), (0, 0)),
+                        kmers,
+                        ((0, B_pad - kmers.shape[0]), (0, 0)),
                         constant_values=P.shape[0] - 1,
                     )
                 vals, ids = self._sharded_fns[k](
@@ -623,11 +630,11 @@ class FamFinder:
                 uniq, self.index.k, fast=self.index.fast,
             )
             P = self._matrix()
-            if self._mesh is None:
-                # row-bucket pad so neither dedupe nor a short batch
-                # mints a new device shape (compiles cost ~1s+ on
-                # tunneled backends)
-                kmers = self._pad_rows(kmers, P.shape[0] - 1)
+            # row-bucket pad so neither dedupe nor a short batch
+            # mints a new device shape (compiles cost ~1s+ on
+            # tunneled backends) — the sharded fn's traced shapes
+            # vary with the row count exactly like the jit's
+            kmers = self._pad_rows(kmers, P.shape[0] - 1)
         k0 = min(
             max(4 * cfg.fs_max + 16, 256), self.index.n_seqs
         )
@@ -643,7 +650,7 @@ class FamFinder:
                         self._mesh, k0
                     )
                 dp = self._mesh.shape["dp"]
-                B = kmers.shape[0]
+                B = kmers.shape[0]  # already row-bucketed above
                 B_pad = -(-B // dp) * dp
                 if B_pad != B:
                     kmers = np.pad(
@@ -653,7 +660,7 @@ class FamFinder:
                 vals, ids = self._sharded_fns[k0](
                     P, jax.numpy.asarray(kmers)
                 )
-                return (vals, ids, B), k0, inv
+                return (vals, ids, len(uniq)), k0, inv
             handle = _score_topk_compiled(k0)(P, kmers)
         return handle, k0, inv
 

@@ -35,7 +35,7 @@ def test_sharded_search_matches_single_device(problem):
     P, kmers = problem
     mesh = make_mesh(jax.devices())
     fn = sharded_search(mesh, k_top=10)
-    Pm = shard_index_matrix(mesh, jnp.asarray(P))
+    Pm = shard_index_matrix(mesh, P)
     vals, ids = fn(Pm, jnp.asarray(kmers))
     vals, ids = np.asarray(vals), np.asarray(ids)
 
@@ -54,7 +54,7 @@ def test_sharded_search_self_retrieval(problem):
     P, kmers = problem
     mesh = make_mesh(jax.devices())
     fn = sharded_search(mesh, k_top=5)
-    Pm = shard_index_matrix(mesh, jnp.asarray(P))
+    Pm = shard_index_matrix(mesh, P)
     vals, ids = fn(Pm, jnp.asarray(kmers))
     vals, ids = np.asarray(vals), np.asarray(ids)
     for b in range(8):
@@ -118,7 +118,7 @@ def test_sharded_tiled_matches_single_device(midscale_index):
     P3 = idx.dense_packed_tiled(byte_multiple=4096 * mp)
     assert P3.shape[2] % (128 * mp) == 0
     fn = sharded_search(mesh, k_top=k_top)
-    Pm = shard_index_matrix(mesh, jnp.asarray(P3))
+    Pm = shard_index_matrix(mesh, P3)
     vals, ids = fn(Pm, jnp.asarray(kmers))
     vals, ids = np.asarray(vals), np.asarray(ids)
 
@@ -158,7 +158,7 @@ def test_sharded_flat_uneven_bytes():
     kmers = rng.integers(0, R - 1, size=(8, 32)).astype(np.int32)
 
     fn = sharded_search(mesh, k_top=16)
-    Pm = shard_index_matrix(mesh, jnp.asarray(Pp))
+    Pm = shard_index_matrix(mesh, Pp)
     vals, ids = fn(Pm, jnp.asarray(kmers))
     vals, ids = np.asarray(vals), np.asarray(ids)
 
