@@ -385,15 +385,32 @@ def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
             ],
             None,
         )
-        row = jnp.where(ei >= 0, ej, -1).reshape(1)
-        log = jax.lax.dynamic_update_slice(log, row, (step,))
-        return nj, ni, ns, log
+        row = jnp.where(ei >= 0, ej, -1)
+        return nj, ni, ns, row
 
-    log0 = jnp.full((L,), -1, dtype=jnp.int32)
+    # unroll UNROLL state transitions per fori iteration: each step
+    # is a handful of tiny VPU ops whose cost is dominated by loop
+    # bookkeeping (~8us/step measured at C=1536), and the traceback
+    # is ~40ms per DP launch — comparable to the forward pass itself
+    UNROLL = 4
+    Lp = -(-L // UNROLL) * UNROLL
+
+    def body_u(it, carry):
+        j, i, state, log = carry
+        rows = []
+        for u in range(UNROLL):
+            j, i, state, row = body(None, (j, i, state, None))
+            rows.append(row)
+        log = jax.lax.dynamic_update_slice(
+            log, jnp.stack(rows), (it * UNROLL,)
+        )
+        return j, i, state, log
+
+    log0 = jnp.full((Lp,), -1, dtype=jnp.int32)
     j, i, state, log = jax.lax.fori_loop(
         0,
-        L,
-        body,
+        Lp // UNROLL,
+        body_u,
         (
             best_c.astype(jnp.int32),
             best_i.astype(jnp.int32),
@@ -401,4 +418,4 @@ def chain_traceback_log(bp, best_c, best_i, c_cols: int, m_len: int):
             log0,
         ),
     )
-    return log
+    return log[:L]
