@@ -732,6 +732,102 @@ def _profile_pallas_fn(
     return jax.jit(packed)
 
 
+def _wire_layout(B: int, U: int, C: int, M: int, dedup: bool,
+                 aspace: bool):
+    """Byte offsets of the single coalesced h2d buffer.  int32
+    segments first (offset 0 is aligned and every int32 segment size
+    is a multiple of 4), byte segments last:
+    [lens (B,2) i32 | fam_idx (B,) i32? | budget (B,C) i32? |
+     fgq (U,C,6) u8 | qmask (B,M) u8]."""
+    n_lens = B * 2 * 4
+    n_fi = B * 4 if dedup else 0
+    n_bud = B * C * 4 if aspace else 0
+    n_fg = U * C * 6
+    n_qm = B * M
+    return n_lens, n_fi, n_bud, n_fg, n_qm
+
+
+@functools.lru_cache(maxsize=256)
+def _profile_wire_fn(
+    C: int, M: int, params: DpParams, B: int, U: int,
+    aspace: bool, dedup: bool, compact: bool, pallas: bool,
+):
+    """One-transfer DP entry: takes the single flat uint8 wire buffer
+    (see _wire_layout) and splits it device-side with static slices +
+    bitcasts, then runs the fused Pallas chain (pallas=True) or the
+    XLA oracle.  Coalescing the 3-5 per-launch host->device arrays
+    into one device_put removes the per-transfer round-trip overhead
+    of the tunnelled backend (CLAUDE.md: ~6 transfers -> 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    inner = (
+        _profile_pallas_fn(C, M, params, compact=compact, dedup=dedup)
+        if pallas
+        else _profile_batched_fn(C, M, params, aspace=aspace,
+                                 dedup=dedup)
+    )
+    n_lens, n_fi, n_bud, n_fg, n_qm = _wire_layout(
+        B, U, C, M, dedup, aspace
+    )
+
+    def f(wire):
+        o = 0
+        lens = jax.lax.bitcast_convert_type(
+            wire[o : o + n_lens].reshape(B, 2, 4), jnp.int32
+        )
+        o += n_lens
+        fi = None
+        if dedup:
+            fi = jax.lax.bitcast_convert_type(
+                wire[o : o + n_fi].reshape(B, 4), jnp.int32
+            )
+            o += n_fi
+        bud = None
+        if aspace:
+            bud = jax.lax.bitcast_convert_type(
+                wire[o : o + n_bud].reshape(B, C, 4), jnp.int32
+            )
+            o += n_bud
+        fg = wire[o : o + n_fg].reshape(U, C, 6)
+        o += n_fg
+        qm = wire[o : o + n_qm].reshape(B, M)
+        if aspace:
+            return inner(fg, qm, lens, bud, fi)
+        return inner(fg, qm, lens, fi)
+
+    return jax.jit(f)
+
+
+def _build_wire(fg, qmask, lens, fam_idx, budget, C: int, M: int,
+                dedup: bool, aspace: bool) -> np.ndarray:
+    """Assemble the flat uint8 h2d buffer (host memcpy of ~2 MB —
+    negligible next to a single extra tunnel round trip)."""
+    B = qmask.shape[0]
+    U = fg.shape[0]
+    n_lens, n_fi, n_bud, n_fg, n_qm = _wire_layout(
+        B, U, C, M, dedup, aspace
+    )
+    wire = np.empty(n_lens + n_fi + n_bud + n_fg + n_qm,
+                    dtype=np.uint8)
+    o = 0
+    wire[o : o + n_lens].view(np.int32).reshape(B, 2)[...] = lens
+    o += n_lens
+    if dedup:
+        wire[o : o + n_fi].view(np.int32)[...] = np.asarray(
+            fam_idx, dtype=np.int32
+        )
+        o += n_fi
+    if aspace:
+        wire[o : o + n_bud].view(np.int32).reshape(B, C)[...] = budget
+        o += n_bud
+    np.copyto(wire[o : o + n_fg].reshape(U, C, 6), fg)
+    o += n_fg
+    np.copyto(wire[o : o + n_qm].reshape(B, M),
+              np.asarray(qmask, dtype=np.uint8))
+    return wire
+
+
 def _unpack_log_result(packed: np.ndarray, m_len: int):
     """Convert the packed column-only log to (emit, bc, bi, raw).
     Accepts the int32 layout (B, L+3) or the compact int16 layout
@@ -876,30 +972,24 @@ def profile_dp_dispatch(
                      np.zeros((pad, C), dtype=np.asarray(budget).dtype)]
                 )
     _seen_shapes.add((C, M, params, budget is not None, dedup))
+    aspace = budget is not None
+    U = fg.shape[0]
     with t.section("h2d"):
-        fg_d = jnp.asarray(fg)
-        qm_d = jnp.asarray(np.asarray(qmask, dtype=np.uint8))
-        lens_d = jnp.asarray(lens)
-        fi_d = (
-            jnp.asarray(np.asarray(fam_idx, dtype=np.int32))
-            if dedup
-            else None
-        )
+        wire = _build_wire(fg, qmask, lens, fam_idx, budget,
+                           C, M, dedup, aspace)
+        wire_d = jnp.asarray(wire)
     kind = "xla"
     out = None
     with t.section("launch"):
-        if budget is not None:
-            fn = _profile_batched_fn(
-                C, M, params, aspace=True, dedup=dedup
-            )
-            out = fn(fg_d, qm_d, lens_d, jnp.asarray(budget), fi_d)
-        elif jax.default_backend() in ("tpu", "axon"):
+        if (not aspace
+                and jax.default_backend() in ("tpu", "axon")):
             try:
                 compact = max(C, M) < 32000
-                fn = _profile_pallas_fn(
-                    C, M, params, compact=compact, dedup=dedup
+                fn = _profile_wire_fn(
+                    C, M, params, B_pad, U, aspace=False,
+                    dedup=dedup, compact=compact, pallas=True,
                 )
-                out = fn(fg_d, qm_d, lens_d, fi_d)
+                out = fn(wire_d)
                 kind = "log"
             except Exception as e:  # pragma: no cover - fallback
                 import logging
@@ -910,8 +1000,11 @@ def profile_dp_dispatch(
                 )
                 out = None
         if out is None:
-            fn = _profile_batched_fn(C, M, params, dedup=dedup)
-            out = fn(fg_d, qm_d, lens_d, fi_d)
+            fn = _profile_wire_fn(
+                C, M, params, B_pad, U, aspace=aspace,
+                dedup=dedup, compact=False, pallas=False,
+            )
+            out = fn(wire_d)
         try:
             out.copy_to_host_async()
         except AttributeError:  # pragma: no cover - older jax

@@ -96,6 +96,106 @@ def test_pallas_path_matches_xla_path():
     np.testing.assert_array_equal(e1, e2)
 
 
+def test_wire_dispatch_matches_direct_arrays():
+    """The coalesced one-transfer wire buffer (profile_dp_dispatch ->
+    _build_wire/_profile_wire_fn) must reproduce the direct
+    multi-array XLA path exactly: the device-side static slices +
+    uint8->int32 bitcasts (_wire_layout) are a pure re-encoding.
+    Covers plain, dedup (fam_idx gather) and aspace (budget) modes."""
+    from sina_tpu.ops.profile import (
+        _pack_fgq, _unpack_result, profile_dp_dispatch,
+        profile_dp_fetch, _profile_batched_fn,
+    )
+
+    rng = np.random.default_rng(11)
+    params = DpParams()
+    C, M, B = 40, 56, 16  # B == bucket so no padding ambiguity
+    freqs = rng.random((B, C, 4)).astype(np.float32)
+    freqs /= freqs.sum(axis=2, keepdims=True) * 1.25
+    gapcost = (rng.random((B, C)) * 2).astype(np.float32)
+    qmask = (
+        1 << rng.integers(0, 4, (B, M), dtype=np.uint8)
+    ).astype(np.uint8)
+    qlen = rng.integers(M // 2, M + 1, B).astype(np.int32)
+    cr = rng.integers(C // 2, C + 1, B).astype(np.int32)
+    for b in range(B):
+        qmask[b, qlen[b]:] = 0
+
+    fg = _pack_fgq(freqs, gapcost, params)
+    lens = np.stack([qlen, cr], axis=1).astype(np.int32)
+
+    # direct multi-array oracle
+    direct = _unpack_result(
+        np.asarray(
+            _profile_batched_fn(C, M, params)(
+                jnp.asarray(fg), jnp.asarray(qmask),
+                jnp.asarray(lens),
+            )
+        )
+    )
+    wired = profile_dp_fetch(
+        profile_dp_dispatch(freqs, gapcost, qmask, qlen, cr, params)
+    )
+    for a, b_ in zip(direct, wired):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # wire -> Pallas composition (interpret mode on CPU): same
+    # splitter, fused-kernel inner
+    from sina_tpu.ops.profile import (
+        _profile_wire_fn, _build_wire, _unpack_log_result,
+    )
+
+    wire = _build_wire(fg, qmask, lens, None, None, C, M,
+                       dedup=False, aspace=False)
+    pal_wire = _unpack_log_result(
+        np.asarray(
+            _profile_wire_fn(
+                C, M, params, B, B, aspace=False, dedup=False,
+                compact=True, pallas=True,
+            )(jnp.asarray(wire))
+        ),
+        M,
+    )
+    for a, b_ in zip(direct, pal_wire):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # dedup: all queries share profile row 0 == dispatching row 0
+    # replicated
+    fam_idx = np.zeros(B, np.int32)
+    ded = profile_dp_fetch(
+        profile_dp_dispatch(
+            freqs[:1], gapcost[:1], qmask, qlen, cr, params,
+            fam_idx=fam_idx,
+        )
+    )
+    rep = profile_dp_fetch(
+        profile_dp_dispatch(
+            np.repeat(freqs[:1], B, 0), np.repeat(gapcost[:1], B, 0),
+            qmask, qlen, cr, params,
+        )
+    )
+    for a, b_ in zip(ded, rep):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # aspace: wire encoding vs the direct multi-array aspace oracle
+    budget = rng.integers(0, 4, (B, C)).astype(np.int32)
+    asp = profile_dp_fetch(
+        profile_dp_dispatch(
+            freqs, gapcost, qmask, qlen, cr, params, budget=budget,
+        )
+    )
+    asp_direct = _unpack_result(
+        np.asarray(
+            _profile_batched_fn(C, M, params, aspace=True)(
+                jnp.asarray(fg), jnp.asarray(qmask),
+                jnp.asarray(lens), jnp.asarray(budget),
+            )
+        )
+    )
+    for a, b_ in zip(asp_direct, asp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_dispatch_row_bucketing():
     """The dispatch pads the batch axis to a power-of-two bucket so
     per-bucket batch sizes (data-dependent) never mint new compile
