@@ -353,18 +353,24 @@ def main() -> int:
         baseline = BASELINE_SEQ_S
     if args.graph:
         metric += " [graph engine]"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rate, 2),
-                "unit": "seq/s",
-                "vs_baseline": round(rate / baseline, 2),
-                "n_refs": args.n_refs,
-                "width": args.width,
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": round(rate, 2),
+        "unit": "seq/s",
+        "vs_baseline": round(rate / baseline, 2),
+        "n_refs": args.n_refs,
+        "width": args.width,
+    }
+    # a single mid-run shape compile in the short timed phase halves
+    # the number (measured 122.7 vs 277 warm at 100k) — make a
+    # poisoned capture identify itself
+    from sina_tpu.jax_setup import midrun_compile_stats
+
+    mc, mcs = midrun_compile_stats()
+    if mc:
+        out["midrun_compiles"] = mc
+        out["midrun_compile_s"] = round(mcs, 1)
+    print(json.dumps(out))
     return 0
 
 

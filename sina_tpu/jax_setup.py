@@ -137,6 +137,17 @@ def warmed_up() -> bool:
 
 _cache_hits = 0
 _cache_misses = 0
+_midrun_compiles = 0
+_midrun_compile_secs = 0.0
+
+
+def midrun_compile_stats() -> tuple[int, float]:
+    """(count, total seconds) of backend compiles seen AFTER
+    mark_warmup_done().  One ~2.5s shape-bucket compile landing in a
+    short timed phase halves a 100k bench number (measured 122.7 vs
+    277 warm) — bench.py puts this in its JSON line so a poisoned
+    capture identifies itself."""
+    return _midrun_compiles, _midrun_compile_secs
 
 
 def cache_stats() -> tuple[int, int]:
@@ -160,6 +171,9 @@ def _register_compile_listener() -> None:
         if not name.endswith("backend_compile_duration"):
             return
         if _after_warmup:
+            global _midrun_compiles, _midrun_compile_secs
+            _midrun_compiles += 1
+            _midrun_compile_secs += dur
             log.warning(
                 "mid-run XLA compile took %.1fs — a new kernel "
                 "shape bucket was hit after warmup (check batch/"
